@@ -1,0 +1,110 @@
+"""NHWC convolution / deconvolution with Caffe-compatible shape arithmetic.
+
+The reference lowers conv via im2col + GEMM (src/caffe/util/im2col.cpp,
+src/caffe/layers/base_conv_layer.cpp); on TPU we hand both straight to XLA's
+convolution, which tiles onto the MXU. Layouts are NHWC activations and HWIO
+weights (TPU-native), not the reference's NCHW/OIHW.
+
+Shape contracts (matching Caffe, src/caffe/layers/conv_layer.cpp):
+  conv:   out = floor((in + 2p - k) / s) + 1
+  deconv: out = s * (in - 1) + k - 2p
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def conv2d(
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    b: Optional[jnp.ndarray] = None,
+    *,
+    stride: int = 1,
+    padding: int = 0,
+    compute_dtype: Optional[jnp.dtype] = None,
+) -> jnp.ndarray:
+    """2-D convolution. x: (N,H,W,Cin), w: (kh,kw,Cin,Cout), b: (Cout,)."""
+    in_dtype = x.dtype
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        w = w.astype(compute_dtype)
+    out = lax.conv_general_dilated(
+        x,
+        w,
+        window_strides=(stride, stride),
+        padding=((padding, padding), (padding, padding)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    )
+    if b is not None:
+        out = out + b.astype(out.dtype)
+    return out.astype(in_dtype)
+
+
+def deconv2d(
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    b: Optional[jnp.ndarray] = None,
+    *,
+    stride: int = 2,
+    padding: int = 1,
+    compute_dtype: Optional[jnp.dtype] = None,
+) -> jnp.ndarray:
+    """Transposed convolution (Caffe "Deconvolution").
+
+    x: (N,H,W,Cin), w: (kh,kw,Cout,Cin) — note the (Cout, Cin) order: this is
+    the forward-conv view of the transposed filter, matching how a Caffe
+    deconv's OIHW blob (O=bottom channels, I=top channels) maps to HWIO after
+    the importer's axis moves. Implemented as input-dilated convolution with a
+    spatially flipped kernel, which XLA fuses into one MXU conv.
+    """
+    in_dtype = x.dtype
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        w = w.astype(compute_dtype)
+    kh, kw = w.shape[0], w.shape[1]
+    # Flip spatial dims and swap in/out channels: transposed conv == conv with
+    # lhs_dilation=stride and effective padding (k - 1 - p).
+    w_flipped = jnp.flip(w, axis=(0, 1)).transpose(0, 1, 3, 2)  # (kh,kw,Cin,Cout)
+    out = lax.conv_general_dilated(
+        x,
+        w_flipped,
+        window_strides=(1, 1),
+        padding=((kh - 1 - padding, kh - 1 - padding), (kw - 1 - padding, kw - 1 - padding)),
+        lhs_dilation=(stride, stride),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    )
+    if b is not None:
+        out = out + b.astype(out.dtype)
+    return out.astype(in_dtype)
+
+
+def conv_out_size(in_size: int, kernel: int, stride: int, pad: int) -> int:
+    return (in_size + 2 * pad - kernel) // stride + 1
+
+
+def deconv_out_size(in_size: int, kernel: int, stride: int, pad: int) -> int:
+    return stride * (in_size - 1) + kernel - 2 * pad
+
+
+def init_conv_params(
+    key: jax.Array,
+    kernel: int,
+    cin: int,
+    cout: int,
+    *,
+    deconv: bool = False,
+    dtype: jnp.dtype = jnp.float32,
+) -> dict:
+    """MSRA/He-style init (matching the reference's training filler choice)."""
+    fan_in = kernel * kernel * cin
+    std = (2.0 / fan_in) ** 0.5
+    shape = (kernel, kernel, cout, cin) if deconv else (kernel, kernel, cin, cout)
+    w = jax.random.normal(key, shape, dtype) * jnp.asarray(std, dtype)
+    return {"w": w, "b": jnp.zeros((cout,), dtype)}

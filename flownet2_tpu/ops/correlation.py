@@ -1,0 +1,243 @@
+"""Correlation (cost volume) — the defining FlowNetC operator — plus its 1-D
+(stereo) variant.
+
+Reference semantics (src/caffe/layers/correlation_layer.{cpp,cu}):
+
+- both inputs are zero-padded by ``pad`` on each spatial side;
+- geometry (correlation_layer.cpp:56-70):
+    kernel_radius  kr = (k-1)//2          (k must be odd)
+    border         b  = max_displacement + kr
+    out_h          = ceil((H + 2*pad - 2*b) / stride1)   (same for W)
+    grid_radius    gr = max_displacement // stride2
+    grid_width     gw = 2*gr + 1,   out_channels = gw**2
+- output channel d ↔ displacement (dy, dx) = ((d//gw - gr)*stride2,
+  (d%gw - gr)*stride2) — y-major, matching correlation_layer.cu:81-82;
+- MULTIPLY: out = (1/(k*k*C)) * Σ_{j,i,c} f1p[y1+j, x1+i, c] *
+  f2p[y1+dy+j, x1+dx+i, c] with patch origin y1 = y*stride1 + max_displacement
+  (correlation_layer.cu:56-108);
+- SUBTRACT: mean |a - b| over the same window (correlation_layer.cu:252-290);
+- ``do_abs`` is parsed by the reference but never used by its kernels
+  (correlation_layer.cpp:29 vs. the .cu file) — we mirror that: accepted,
+  ignored;
+- gradients to both inputs (correlation_layer.cu:118-249). The displacement-
+  range-inversion logic there is exactly the transpose of this linear op, so
+  JAX autodiff through this formulation reproduces it; no hand-written VJP is
+  needed for correctness (a fused Pallas backward is a performance option).
+
+TPU-native design: per displacement, the cost slice is an elementwise
+multiply + channel reduction of two shifted views — VPU work that XLA fuses;
+the kernel window is a separable k×k box-sum; stride1 is a strided slice.
+A `lax.scan` over the gw² displacements keeps compile time and HBM footprint
+flat (only one (N, H', W') slice is live per step). The fused Pallas version
+lives in ``flownet2_tpu.ops.pallas.correlation``.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def correlation_output_shape(
+    height: int,
+    width: int,
+    *,
+    max_displacement: int,
+    kernel_size: int = 1,
+    stride1: int = 1,
+    stride2: int = 1,
+    pad: int = 0,
+) -> tuple[int, int, int]:
+    """(out_h, out_w, out_channels) per correlation_layer.cpp:56-70."""
+    kr = (kernel_size - 1) // 2
+    border = max_displacement + kr
+    out_h = math.ceil((height + 2 * pad - 2 * border) / stride1)
+    out_w = math.ceil((width + 2 * pad - 2 * border) / stride1)
+    gr = max_displacement // stride2
+    gw = 2 * gr + 1
+    return out_h, out_w, gw * gw
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "max_displacement",
+        "kernel_size",
+        "stride1",
+        "stride2",
+        "pad",
+        "multiply",
+        "do_abs",
+    ),
+)
+def correlation(
+    f1: jnp.ndarray,
+    f2: jnp.ndarray,
+    *,
+    max_displacement: int,
+    kernel_size: int = 1,
+    stride1: int = 1,
+    stride2: int = 1,
+    pad: int = 0,
+    multiply: bool = True,
+    do_abs: bool = False,
+) -> jnp.ndarray:
+    """Cost volume of f1 vs f2, both (N, H, W, C) → (N, out_h, out_w, gw²).
+
+    FlowNetC uses max_displacement=20, kernel_size=1, stride1=1, stride2=2,
+    pad=20 → 441 output channels at the conv3 resolution.
+    """
+    if kernel_size % 2 != 1:
+        raise ValueError("kernel_size must be odd (correlation_layer.cpp:22)")
+    if f1.shape != f2.shape:
+        raise ValueError(f"input shapes differ: {f1.shape} vs {f2.shape}")
+    del do_abs  # parsed but unused by the reference kernels; kept for parity
+
+    n, h, w, c = f1.shape
+    kr = (kernel_size - 1) // 2
+    md = max_displacement
+    out_h, out_w, out_c = correlation_output_shape(
+        h,
+        w,
+        max_displacement=md,
+        kernel_size=kernel_size,
+        stride1=stride1,
+        stride2=stride2,
+        pad=pad,
+    )
+    if out_h < 1 or out_w < 1:
+        raise ValueError("correlation window does not fit in input")
+    gr = md // stride2
+    gw = 2 * gr + 1
+
+    pad_cfg = ((0, 0), (pad, pad), (pad, pad), (0, 0))
+    f1p = jnp.pad(f1.astype(jnp.float32), pad_cfg)
+    f2p = jnp.pad(f2.astype(jnp.float32), pad_cfg)
+
+    # Patch-origin span in padded coords: rows md .. md+(out_h-1)*s1+k-1.
+    span_h = (out_h - 1) * stride1 + kernel_size
+    span_w = (out_w - 1) * stride1 + kernel_size
+    f1_span = lax.slice(
+        f1p, (0, md, md, 0), (n, md + span_h, md + span_w, c)
+    )  # (N, span_h, span_w, C)
+
+    def one_displacement(_, d):
+        dy = (d // gw - gr) * stride2
+        dx = (d % gw - gr) * stride2
+        f2_span = lax.dynamic_slice(
+            f2p, (0, md + dy, md + dx, 0), (n, span_h, span_w, c)
+        )
+        if multiply:
+            q = jnp.sum(f1_span * f2_span, axis=-1)  # (N, span_h, span_w)
+        else:
+            q = jnp.sum(jnp.abs(f1_span - f2_span), axis=-1)
+        # k×k box sum (identity for k=1), then stride1 subsampling.
+        if kernel_size > 1:
+            q = lax.reduce_window(
+                q,
+                0.0,
+                lax.add,
+                window_dimensions=(1, kernel_size, kernel_size),
+                window_strides=(1, 1, 1),
+                padding="VALID",
+            )
+        q = q[:, :: stride1, :: stride1]
+        return None, q
+
+    _, stacked = lax.scan(
+        one_displacement, None, jnp.arange(gw * gw, dtype=jnp.int32)
+    )  # (gw², N, out_h, out_w)
+    out = jnp.transpose(stacked, (1, 2, 3, 0))  # (N, out_h, out_w, gw²)
+    norm = kernel_size * kernel_size * c
+    return (out / norm).astype(f1.dtype)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "max_displacement",
+        "kernel_size",
+        "stride1",
+        "stride2",
+        "pad",
+        "single_direction",
+        "multiply",
+        "do_abs",
+    ),
+)
+def correlation_1d(
+    f1: jnp.ndarray,
+    f2: jnp.ndarray,
+    *,
+    max_displacement: int,
+    kernel_size: int = 1,
+    stride1: int = 1,
+    stride2: int = 1,
+    pad: int = 0,
+    single_direction: int = 0,
+    multiply: bool = True,
+    do_abs: bool = False,
+) -> jnp.ndarray:
+    """1-D (horizontal) correlation for stereo/disparity (DispNetC-style).
+
+    Reference: src/caffe/layers/correlation_layer1d.{cpp,cu}. Differences from
+    2-D: padding applies to width only; no vertical displacement; the vertical
+    patch origin is y*stride1 (+kr window); ``single_direction`` -1/+1
+    restricts the search to the left/right side (gw = gr + 1), 0 searches both
+    (gw = 2*gr + 1).
+    """
+    if kernel_size % 2 != 1:
+        raise ValueError("kernel_size must be odd")
+    if f1.shape != f2.shape:
+        raise ValueError(f"input shapes differ: {f1.shape} vs {f2.shape}")
+    del do_abs
+
+    n, h, w, c = f1.shape
+    kr = (kernel_size - 1) // 2
+    md = max_displacement
+    border = md + kr
+    out_w = math.ceil((w + 2 * pad - 2 * border) / stride1)
+    out_h = math.ceil((h - 2 * kr) / stride1)
+    gr = md // stride2
+    if single_direction != 0:
+        gw = gr + 1
+        x_shift = -gr if single_direction < 0 else 0
+    else:
+        gw = 2 * gr + 1
+        x_shift = -gr
+
+    pad_cfg = ((0, 0), (0, 0), (pad, pad), (0, 0))
+    f1p = jnp.pad(f1.astype(jnp.float32), pad_cfg)
+    f2p = jnp.pad(f2.astype(jnp.float32), pad_cfg)
+
+    span_h = (out_h - 1) * stride1 + kernel_size
+    span_w = (out_w - 1) * stride1 + kernel_size
+    f1_span = lax.slice(f1p, (0, 0, md, 0), (n, span_h, md + span_w, c))
+
+    def one_displacement(_, d):
+        dx = (d + x_shift) * stride2
+        f2_span = lax.dynamic_slice(f2p, (0, 0, md + dx, 0), (n, span_h, span_w, c))
+        if multiply:
+            q = jnp.sum(f1_span * f2_span, axis=-1)
+        else:
+            q = jnp.sum(jnp.abs(f1_span - f2_span), axis=-1)
+        if kernel_size > 1:
+            q = lax.reduce_window(
+                q,
+                0.0,
+                lax.add,
+                window_dimensions=(1, kernel_size, kernel_size),
+                window_strides=(1, 1, 1),
+                padding="VALID",
+            )
+        q = q[:, :: stride1, :: stride1]
+        return None, q
+
+    _, stacked = lax.scan(one_displacement, None, jnp.arange(gw, dtype=jnp.int32))
+    out = jnp.transpose(stacked, (1, 2, 3, 0))
+    norm = kernel_size * kernel_size * c
+    return (out / norm).astype(f1.dtype)

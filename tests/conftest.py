@@ -1,0 +1,26 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+The reference could only test multi-GPU paths with >=2 physical GPUs
+(test_gradient_based_solver.cpp silently skips otherwise); we force
+XLA's host platform with 8 virtual devices so every sharding/collective
+test runs anywhere, per SURVEY.md §4's testing blueprint.
+
+Must run before jax is imported anywhere.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)

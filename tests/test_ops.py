@@ -1,0 +1,185 @@
+"""Op-level tests: JAX implementations vs. independent numpy oracles, plus
+finite-difference gradient checks (the reference's GradientChecker idea,
+include/caffe/test/test_gradient_check_util.hpp, via jax.test_util)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.test_util import check_grads
+
+from flownet2_tpu.ops import (
+    channel_norm,
+    correlation,
+    correlation_1d,
+    downsample_nan_aware,
+    flow_warp,
+    leaky_relu,
+    neg_relu,
+    resample,
+)
+from flownet2_tpu.ops.correlation import correlation_output_shape
+
+import oracles
+
+
+class TestCorrelation:
+    @pytest.mark.parametrize(
+        "kwargs",
+        [
+            dict(max_displacement=2, kernel_size=1, stride1=1, stride2=1, pad=2),
+            dict(max_displacement=4, kernel_size=1, stride1=1, stride2=2, pad=4),
+            dict(max_displacement=2, kernel_size=3, stride1=1, stride2=1, pad=3),
+            dict(max_displacement=2, kernel_size=1, stride1=2, stride2=1, pad=2),
+            dict(max_displacement=2, kernel_size=1, stride1=1, stride2=1, pad=0),
+        ],
+    )
+    def test_vs_oracle_multiply(self, rng, kwargs):
+        f1 = rng.standard_normal((2, 10, 12, 3)).astype(np.float32)
+        f2 = rng.standard_normal((2, 10, 12, 3)).astype(np.float32)
+        got = np.asarray(correlation(jnp.asarray(f1), jnp.asarray(f2), **kwargs))
+        want = oracles.correlation_oracle(f1, f2, **kwargs)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    def test_vs_oracle_subtract(self, rng):
+        kwargs = dict(max_displacement=2, kernel_size=3, stride1=1, stride2=1, pad=2)
+        f1 = rng.standard_normal((1, 9, 11, 4)).astype(np.float32)
+        f2 = rng.standard_normal((1, 9, 11, 4)).astype(np.float32)
+        got = np.asarray(
+            correlation(jnp.asarray(f1), jnp.asarray(f2), multiply=False, **kwargs)
+        )
+        want = oracles.correlation_oracle(f1, f2, multiply=False, **kwargs)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    def test_flownetc_geometry(self):
+        # FlowNetC: 441 channels at conv3 resolution (SURVEY.md §2.6).
+        oh, ow, oc = correlation_output_shape(
+            40, 56, max_displacement=20, kernel_size=1, stride1=1, stride2=2, pad=20
+        )
+        assert (oh, ow, oc) == (40, 56, 441)
+
+    def test_gradients(self, rng):
+        f1 = jnp.asarray(rng.standard_normal((1, 8, 8, 2)).astype(np.float32))
+        f2 = jnp.asarray(rng.standard_normal((1, 8, 8, 2)).astype(np.float32))
+
+        def fn(a, b):
+            return correlation(a, b, max_displacement=2, stride2=1, pad=2)
+
+        check_grads(fn, (f1, f2), order=1, modes=["rev"], atol=1e-2, rtol=1e-2)
+
+    def test_1d_vs_oracle(self, rng):
+        for sd in (-1, 0, 1):
+            kwargs = dict(
+                max_displacement=4, kernel_size=1, stride1=1, stride2=2, pad=4,
+                single_direction=sd,
+            )
+            f1 = rng.standard_normal((1, 6, 14, 3)).astype(np.float32)
+            f2 = rng.standard_normal((1, 6, 14, 3)).astype(np.float32)
+            got = np.asarray(correlation_1d(jnp.asarray(f1), jnp.asarray(f2), **kwargs))
+            want = oracles.correlation_1d_oracle(f1, f2, **kwargs)
+            np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5, err_msg=f"sd={sd}")
+
+
+class TestFlowWarp:
+    def test_vs_oracle(self, rng):
+        img = rng.standard_normal((2, 9, 12, 3)).astype(np.float32)
+        flow = (rng.standard_normal((2, 9, 12, 2)) * 3).astype(np.float32)
+        got = np.asarray(flow_warp(jnp.asarray(img), jnp.asarray(flow)))
+        want = oracles.flow_warp_oracle(img, flow)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    def test_nan_fill(self, rng):
+        img = rng.standard_normal((1, 5, 5, 1)).astype(np.float32)
+        flow = np.full((1, 5, 5, 2), 10.0, dtype=np.float32)  # everything OOB
+        got = np.asarray(flow_warp(jnp.asarray(img), jnp.asarray(flow), fill_value=np.nan))
+        assert np.all(np.isnan(got))
+
+    def test_identity_flow(self, rng):
+        img = rng.standard_normal((1, 6, 7, 3)).astype(np.float32)
+        flow = np.zeros((1, 6, 7, 2), dtype=np.float32)
+        got = np.asarray(flow_warp(jnp.asarray(img), jnp.asarray(flow)))
+        np.testing.assert_allclose(got, img, rtol=1e-6)
+
+    def test_gradients_both_inputs(self, rng):
+        img = jnp.asarray(rng.standard_normal((1, 6, 6, 2)).astype(np.float32))
+        # keep flow away from integer grid points (kinks) for finite differences
+        flow = jnp.asarray((rng.uniform(0.2, 0.8, (1, 6, 6, 2))).astype(np.float32))
+        check_grads(
+            lambda i, f: flow_warp(i, f), (img, flow), order=1, modes=["rev"],
+            atol=1e-2, rtol=1e-2,
+        )
+
+
+class TestChannelNorm:
+    def test_forward(self, rng):
+        x = rng.standard_normal((2, 4, 5, 7)).astype(np.float32)
+        got = np.asarray(channel_norm(jnp.asarray(x)))
+        want = np.sqrt((x**2).sum(-1, keepdims=True))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+    def test_grad_at_zero_is_finite(self):
+        x = jnp.zeros((1, 2, 2, 3))
+        g = jax.grad(lambda v: channel_norm(v).sum())(x)
+        assert np.all(np.isfinite(np.asarray(g)))
+
+    def test_gradients(self, rng):
+        x = jnp.asarray(rng.standard_normal((1, 3, 3, 4)).astype(np.float32))
+        check_grads(channel_norm, (x,), order=1, modes=["rev"], atol=1e-2, rtol=1e-2)
+
+
+class TestResample:
+    @pytest.mark.parametrize("method", ["nearest", "linear", "cubic"])
+    @pytest.mark.parametrize("shape", [(8, 10, 16, 20), (16, 20, 8, 10), (8, 10, 8, 10)])
+    def test_vs_oracle(self, rng, method, shape):
+        ih, iw, oh, ow = shape
+        x = rng.standard_normal((ih, iw, 3)).astype(np.float32)
+        got = np.asarray(resample(jnp.asarray(x)[None], oh, ow, method=method))[0]
+        want = oracles.resample_oracle(x, oh, ow, method=method)
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+    @pytest.mark.parametrize("antialias", [True, False])
+    def test_downscale_antialias(self, rng, antialias):
+        x = rng.standard_normal((16, 24, 2)).astype(np.float32)
+        got = np.asarray(
+            resample(jnp.asarray(x)[None], 8, 12, method="linear", antialias=antialias)
+        )[0]
+        want = oracles.resample_oracle(x, 8, 12, method="linear", antialias=antialias)
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+    def test_differentiable(self, rng):
+        x = jnp.asarray(rng.standard_normal((1, 8, 8, 2)).astype(np.float32))
+        g = jax.grad(lambda v: resample(v, 16, 16).sum())(x)
+        assert np.all(np.isfinite(np.asarray(g)))
+
+
+class TestDownsample:
+    def test_vs_oracle(self, rng):
+        x = rng.standard_normal((17, 23, 2)).astype(np.float32)
+        got = np.asarray(downsample_nan_aware(jnp.asarray(x)[None], 5, 7))[0]
+        want = oracles.downsample_oracle(x, 5, 7)
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+    def test_nan_voting(self, rng):
+        x = rng.standard_normal((16, 16, 1)).astype(np.float32)
+        x[:10, :10] = np.nan  # big NaN block → NaN in the corresponding output
+        got = np.asarray(downsample_nan_aware(jnp.asarray(x)[None], 4, 4))[0]
+        want = oracles.downsample_oracle(x, 4, 4)
+        np.testing.assert_array_equal(np.isnan(got), np.isnan(want))
+        m = ~np.isnan(want)
+        np.testing.assert_allclose(got[m], want[m], rtol=1e-4, atol=1e-4)
+
+    def test_identity_passthrough(self, rng):
+        x = jnp.asarray(rng.standard_normal((1, 8, 8, 2)).astype(np.float32))
+        assert downsample_nan_aware(x, 8, 8) is x
+
+
+class TestActivations:
+    def test_leaky_relu(self):
+        x = jnp.asarray([-2.0, -0.5, 0.0, 0.5, 2.0])
+        np.testing.assert_allclose(
+            np.asarray(leaky_relu(x)), [-0.2, -0.05, 0.0, 0.5, 2.0], rtol=1e-6
+        )
+
+    def test_neg_relu(self):
+        x = jnp.asarray([-2.0, 0.0, 2.0])
+        np.testing.assert_allclose(np.asarray(neg_relu(x)), [-2.0, 0.0, 0.2], rtol=1e-6)
