@@ -1,0 +1,98 @@
+"""Shared building blocks for the FlowNet encoders/decoders."""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from flownet2_tpu.ops.activations import leaky_relu
+from flownet2_tpu.ops.conv import conv2d, deconv2d, init_conv_params
+
+
+def conv_block(params: dict, name: str, x: jnp.ndarray, *, stride: int = 1, relu: bool = True) -> jnp.ndarray:
+    p = params[name]
+    k = p["w"].shape[0]
+    out = conv2d(x, p["w"], p["b"], stride=stride, padding=k // 2)
+    return leaky_relu(out) if relu else out
+
+
+def deconv_block(params: dict, name: str, x: jnp.ndarray, *, relu: bool = True) -> jnp.ndarray:
+    p = params[name]
+    out = deconv2d(x, p["w"], p["b"], stride=2, padding=1)
+    return leaky_relu(out) if relu else out
+
+
+class ParamInit:
+    """Accumulates layer params from one host-side numpy RNG.
+
+    Seeded from a jax PRNG key for API uniformity, but sampling happens in
+    numpy: device-side per-layer init compiled ~1 XLA program per layer and
+    dominated model construction time on CPU.
+    """
+
+    def __init__(self, key: jax.Array, dtype=jnp.float32):
+        import numpy as np
+
+        seed = int(np.asarray(jax.random.key_data(key)).ravel()[-1])
+        self.rng = np.random.default_rng(seed)
+        self.dtype = dtype
+        self.params: dict = {}
+
+    def conv(self, name: str, kernel: int, cin: int, cout: int):
+        self.params[name] = init_conv_params(self.rng, kernel, cin, cout, dtype=self.dtype)
+
+    def deconv(self, name: str, kernel: int, cin: int, cout: int):
+        self.params[name] = init_conv_params(
+            self.rng, kernel, cin, cout, deconv=True, dtype=self.dtype
+        )
+
+
+def refinement_decoder(
+    params: dict,
+    features: dict[int, jnp.ndarray],
+    *,
+    levels: tuple[int, ...] = (6, 5, 4, 3, 2),
+    deconv_channels: dict[int, int] | None = None,
+) -> dict[str, jnp.ndarray]:
+    """The classic FlowNetS/C refinement decoder.
+
+    ``features[l]`` is the encoder activation at level l (stride 2**l).
+    Per level: predict flow, deconv features, deconv-upsample the flow,
+    concat with the skip feature, repeat. Returns {"flow6".."flow2"} in
+    net units (flow/20).
+    """
+    flows: dict[str, jnp.ndarray] = {}
+    top = levels[0]
+    flow = conv_block(params, f"predict_flow{top}", features[top], relu=False)
+    flows[f"flow{top}"] = flow
+    link = features[top]
+    for lvl in levels[1:]:
+        up_feat = deconv_block(params, f"deconv{lvl}", link)
+        up_flow = deconv_block(params, f"upsample_flow{lvl + 1}to{lvl}", flow, relu=False)
+        link = jnp.concatenate([features[lvl], up_feat, up_flow], axis=-1)
+        flow = conv_block(params, f"predict_flow{lvl}", link, relu=False)
+        flows[f"flow{lvl}"] = flow
+    return flows
+
+
+def init_refinement_decoder(
+    pi: ParamInit,
+    feature_channels: dict[int, int],
+    *,
+    levels: tuple[int, ...] = (6, 5, 4, 3, 2),
+    deconv_channels: dict[int, int] | None = None,
+) -> None:
+    """Parameter shapes for :func:`refinement_decoder`."""
+    if deconv_channels is None:
+        deconv_channels = {5: 512, 4: 256, 3: 128, 2: 64}
+    top = levels[0]
+    pi.conv(f"predict_flow{top}", 3, feature_channels[top], 2)
+    link_c = feature_channels[top]
+    for lvl in levels[1:]:
+        dc = deconv_channels[lvl]
+        pi.deconv(f"deconv{lvl}", 4, link_c, dc)
+        pi.deconv(f"upsample_flow{lvl + 1}to{lvl}", 4, 2, 2)
+        link_c = feature_channels[lvl] + dc + 2
+        pi.conv(f"predict_flow{lvl}", 3, link_c, 2)

@@ -1,0 +1,65 @@
+"""FlowNetFusion: the small full-resolution net that fuses the CSS (large
+displacement) and SD (small displacement) flows into the final FlowNet2
+output — SURVEY.md §2.6.
+
+Input (11 channels): img0 (3) + sd_flow (2) + css_flow (2) + their channel
+norms (1+1) + the two brightness-error magnitudes (1+1). Operates at full
+resolution with only two downsamplings; predict_flow0 is the final flow.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from flownet2_tpu.models.common import ParamInit, conv_block, deconv_block
+
+
+def fusion_init(key: jax.Array, in_channels: int = 11, dtype=jnp.float32) -> dict:
+    pi = ParamInit(key, dtype)
+    pi.conv("conv0", 3, in_channels, 64)
+    pi.conv("conv1", 3, 64, 64)
+    pi.conv("conv1_1", 3, 64, 128)
+    pi.conv("conv2", 3, 128, 128)
+    pi.conv("conv2_1", 3, 128, 128)
+
+    pi.conv("predict_flow2", 3, 128, 2)
+    # level 1: concat(conv1_1 128, deconv1 32, flow2up 2) = 162
+    pi.deconv("deconv1", 4, 128, 32)
+    pi.deconv("upsample_flow2to1", 4, 2, 2)
+    pi.conv("inter_conv1", 3, 162, 32)
+    pi.conv("predict_flow1", 3, 32, 2)
+    # level 0: concat(conv0 64, deconv0 16, flow1up 2) = 82
+    pi.deconv("deconv0", 4, 162, 16)
+    pi.deconv("upsample_flow1to0", 4, 2, 2)
+    pi.conv("inter_conv0", 3, 82, 16)
+    pi.conv("predict_flow0", 3, 16, 2)
+    return pi.params
+
+
+def fusion_apply(params: dict, x: jnp.ndarray) -> dict[str, jnp.ndarray]:
+    """x: (N, H, W, 11) → {"flow0", "flow1", "flow2"}; flow0 is final."""
+    c0 = conv_block(params, "conv0", x)
+    c1 = conv_block(params, "conv1", c0, stride=2)
+    c1_1 = conv_block(params, "conv1_1", c1)
+    c2 = conv_block(params, "conv2", c1_1, stride=2)
+    c2_1 = conv_block(params, "conv2_1", c2)
+
+    flows = {}
+    flow2 = conv_block(params, "predict_flow2", c2_1, relu=False)
+    flows["flow2"] = flow2
+
+    up_feat1 = deconv_block(params, "deconv1", c2_1)
+    up_flow1 = deconv_block(params, "upsample_flow2to1", flow2, relu=False)
+    concat1 = jnp.concatenate([c1_1, up_feat1, up_flow1], axis=-1)
+    inter1 = conv_block(params, "inter_conv1", concat1, relu=False)
+    flow1 = conv_block(params, "predict_flow1", inter1, relu=False)
+    flows["flow1"] = flow1
+
+    up_feat0 = deconv_block(params, "deconv0", concat1)
+    up_flow0 = deconv_block(params, "upsample_flow1to0", flow1, relu=False)
+    concat0 = jnp.concatenate([c0, up_feat0, up_flow0], axis=-1)
+    inter0 = conv_block(params, "inter_conv0", concat0, relu=False)
+    flow0 = conv_block(params, "predict_flow0", inter0, relu=False)
+    flows["flow0"] = flow0
+    return flows

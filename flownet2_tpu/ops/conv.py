@@ -94,7 +94,7 @@ def deconv_out_size(in_size: int, kernel: int, stride: int, pad: int) -> int:
 
 
 def init_conv_params(
-    key: jax.Array,
+    rng,
     kernel: int,
     cin: int,
     cout: int,
@@ -102,9 +102,16 @@ def init_conv_params(
     deconv: bool = False,
     dtype: jnp.dtype = jnp.float32,
 ) -> dict:
-    """MSRA/He-style init (matching the reference's training filler choice)."""
+    """MSRA/He-style init (matching the reference's training filler choice).
+
+    ``rng`` is a ``np.random.Generator`` — host-side init avoids compiling a
+    fresh XLA program per layer (one jax.random.normal call each), which
+    dominated model construction time.
+    """
+    import numpy as np
+
     fan_in = kernel * kernel * cin
     std = (2.0 / fan_in) ** 0.5
     shape = (kernel, kernel, cout, cin) if deconv else (kernel, kernel, cin, cout)
-    w = jax.random.normal(key, shape, dtype) * jnp.asarray(std, dtype)
+    w = jnp.asarray(rng.standard_normal(shape, dtype=np.float32) * std, dtype)
     return {"w": w, "b": jnp.zeros((cout,), dtype)}
