@@ -28,8 +28,15 @@ def conv2d(
     padding: int = 0,
     compute_dtype: Optional[jnp.dtype] = None,
 ) -> jnp.ndarray:
-    """2-D convolution. x: (N,H,W,Cin), w: (kh,kw,Cin,Cout), b: (Cout,)."""
+    """2-D convolution. x: (N,H,W,Cin), w: (kh,kw,Cin,Cout), b: (Cout,).
+
+    Activations follow the weight dtype (bf16 weights ⇒ bf16 MXU conv with
+    f32 accumulation via preferred_element_type).
+    """
     in_dtype = x.dtype
+    if compute_dtype is None and x.dtype != w.dtype:
+        compute_dtype = w.dtype
+        in_dtype = w.dtype
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
         w = w.astype(compute_dtype)
@@ -64,6 +71,9 @@ def deconv2d(
     spatially flipped kernel, which XLA fuses into one MXU conv.
     """
     in_dtype = x.dtype
+    if compute_dtype is None and x.dtype != w.dtype:
+        compute_dtype = w.dtype
+        in_dtype = w.dtype
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
         w = w.astype(compute_dtype)

@@ -1,0 +1,244 @@
+"""The Solver: train/test/snapshot loop (reference: src/caffe/solver.cpp).
+
+Key behaviors reproduced TPU-natively:
+
+- ``Step``: iter_size gradient accumulation (solver.cpp:222-225) — here a
+  lax.scan over micro-batches inside ONE jitted step program;
+- smoothed loss over ``average_loss`` iterations (solver.cpp:484+);
+- snapshot/restore of params + optimizer state + iteration (solver.cpp:
+  412-483) via orbax checkpoint of the TrainState pytree;
+- signal-driven stop/snapshot (util/signal_handler.h, solver.cpp:260-273):
+  SIGINT/SIGHUP handlers set an action flag checked once per display
+  interval;
+- test loop computing EPE over a validation iterator (solver.cpp:327-410).
+
+The per-iteration param broadcast / gradient tree-reduction of P2PSync
+(parallel.cpp) has no equivalent here: the train step is compiled against a
+``jax.sharding.Mesh`` (see flownet2_tpu.parallel) and XLA inserts the
+collectives inside the program.
+"""
+
+from __future__ import annotations
+
+import os
+import signal
+import time
+from collections import deque
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Callable, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from flownet2_tpu.train.solvers import SolverConfig, make_solver
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class TrainState:
+    """The snapshot unit: everything needed to resume (SolverState +
+    weights, caffe.proto:246-252)."""
+
+    params: Any
+    opt_state: Any
+    iteration: jnp.ndarray  # scalar int32
+
+    def replace(self, **kw):
+        d = dict(params=self.params, opt_state=self.opt_state, iteration=self.iteration)
+        d.update(kw)
+        return TrainState(**d)
+
+
+def make_train_step(
+    loss_fn: Callable[[Any, Any], tuple[jnp.ndarray, dict]],
+    tx: optax.GradientTransformation,
+    *,
+    iter_size: int = 1,
+) -> Callable[[TrainState, Any], tuple[TrainState, jnp.ndarray, dict]]:
+    """Build the jitted train step.
+
+    ``loss_fn(params, batch) -> (scalar_loss, aux_dict)``. With iter_size>1,
+    ``batch`` must have a leading micro-batch axis of that size; gradients
+    are averaged across micro-batches inside the compiled program.
+    """
+
+    def step(state: TrainState, batch) -> tuple[TrainState, jnp.ndarray, dict]:
+        if iter_size == 1:
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params, batch
+            )
+        else:
+            def micro(carry, micro_batch):
+                (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                    state.params, micro_batch
+                )
+                acc = jax.tree.map(jnp.add, carry, grads)
+                return acc, (loss, aux)
+
+            zero = jax.tree.map(jnp.zeros_like, state.params)
+            grads, (losses, auxes) = jax.lax.scan(micro, zero, batch)
+            grads = jax.tree.map(lambda g: g / iter_size, grads)
+            loss = jnp.mean(losses)
+            aux = jax.tree.map(jnp.mean, auxes)
+
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(
+            params=params, opt_state=opt_state, iteration=state.iteration + 1
+        )
+        return new_state, loss, aux
+
+    return step
+
+
+class Solver:
+    """Owns a TrainState and drives the loop (reference Solver::Solve)."""
+
+    def __init__(
+        self,
+        config: SolverConfig,
+        loss_fn: Callable,
+        init_params: Any,
+        *,
+        snapshot_dir: Optional[str] = None,
+        snapshot_interval: int = 0,
+        display: int = 100,
+        average_loss: int = 100,
+        test_fn: Optional[Callable[[Any], float]] = None,
+        test_interval: int = 0,
+        jit_step: bool = True,
+    ):
+        self.config = config
+        self.tx = make_solver(config)
+        step = make_train_step(loss_fn, self.tx, iter_size=config.iter_size)
+        self.step_fn = jax.jit(step, donate_argnums=0) if jit_step else step
+        self.state = TrainState(
+            params=init_params,
+            opt_state=self.tx.init(init_params),
+            iteration=jnp.zeros([], jnp.int32),
+        )
+        self.snapshot_dir = snapshot_dir
+        self.snapshot_interval = snapshot_interval
+        self.display = display
+        self.test_fn = test_fn
+        self.test_interval = test_interval
+        self._loss_window: deque = deque(maxlen=average_loss)
+        self._requested_action = None
+        self.history: list[tuple[int, float]] = []
+
+    # -- signal handling (reference SignalHandler: SIGINT→stop, SIGHUP→snapshot)
+    def install_signal_handlers(self, sigint: str = "stop", sighup: str = "snapshot"):
+        def handler_factory(action):
+            def handler(signum, frame):
+                self._requested_action = action
+
+            return handler
+
+        if sigint != "none":
+            signal.signal(signal.SIGINT, handler_factory(sigint))
+        if sighup != "none" and hasattr(signal, "SIGHUP"):
+            signal.signal(signal.SIGHUP, handler_factory(sighup))
+
+    @property
+    def iteration(self) -> int:
+        return int(self.state.iteration)
+
+    @property
+    def smoothed_loss(self) -> float:
+        return float(np.mean(self._loss_window)) if self._loss_window else float("nan")
+
+    def step(self, batch) -> tuple[float, dict]:
+        self.state, loss, aux = self.step_fn(self.state, batch)
+        loss = float(loss)
+        self._loss_window.append(loss)
+        return loss, aux
+
+    def solve(
+        self,
+        data_iter: Iterator,
+        *,
+        max_iter: Optional[int] = None,
+        log: Callable[[str], None] = print,
+    ):
+        """The reference Solve/Step loop: train until max_iter, honoring
+        display/test/snapshot intervals and signal actions."""
+        max_iter = self.config.max_iter if max_iter is None else max_iter
+        t0 = time.time()
+        while self.iteration < max_iter:
+            batch = next(data_iter)
+            loss, _aux = self.step(batch)
+            it = self.iteration
+            if self.display and it % self.display == 0:
+                rate = self.display / max(time.time() - t0, 1e-9)
+                t0 = time.time()
+                log(
+                    f"Iteration {it}, loss = {self.smoothed_loss:.6f} "
+                    f"({rate:.2f} iter/s)"
+                )
+                self.history.append((it, self.smoothed_loss))
+            if self.test_fn and self.test_interval and it % self.test_interval == 0:
+                metric = self.test_fn(self.state.params)
+                log(f"Iteration {it}, test metric = {metric:.6f}")
+            if (
+                self.snapshot_interval
+                and self.snapshot_dir
+                and it % self.snapshot_interval == 0
+            ):
+                self.snapshot()
+            if self._requested_action == "stop":
+                log(f"Stopping early at iteration {it} (signal).")
+                break
+            if self._requested_action == "snapshot":
+                self.snapshot()
+                self._requested_action = None
+        if self.snapshot_dir:
+            self.snapshot()
+
+    # -- checkpointing (reference Snapshot/Restore, solver.cpp:412-483)
+    def snapshot(self) -> str:
+        import orbax.checkpoint as ocp
+
+        path = os.path.abspath(
+            os.path.join(self.snapshot_dir, f"iter_{self.iteration:07d}")
+        )
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(path, self.state, force=True)
+        ckptr.wait_until_finished()
+        return path
+
+    def restore(self, path: str):
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.StandardCheckpointer()
+        self.state = ckptr.restore(path, self.state)
+
+    def copy_weights_from(self, params: Any, strict: bool = False):
+        """Finetuning à la ``caffe train -weights``: copy params whose names
+        AND shapes match; leave the rest initialized (net.cpp:752-804)."""
+        own = self.state.params
+
+        def merge(dst: dict, src: dict, prefix=""):
+            out = {}
+            for k, v in dst.items():
+                if k in src:
+                    if isinstance(v, dict):
+                        out[k] = merge(v, src[k], prefix + k + "/")
+                    elif hasattr(src[k], "shape") and src[k].shape == v.shape:
+                        out[k] = jnp.asarray(src[k], v.dtype)
+                    elif strict:
+                        raise ValueError(
+                            f"shape mismatch for {prefix + k}: "
+                            f"{getattr(src[k], 'shape', None)} vs {v.shape}"
+                        )
+                    else:
+                        out[k] = v
+                else:
+                    if strict:
+                        raise ValueError(f"missing param {prefix + k}")
+                    out[k] = v
+            return out
+
+        self.state = self.state.replace(params=merge(own, params))

@@ -1,0 +1,113 @@
+"""Multi-device tests on the virtual 8-device CPU mesh.
+
+The reference could only exercise its parallel path with >=2 physical GPUs
+(test_gradient_based_solver.cpp:196-207); these run anywhere and verify the
+core P2PSync contract — sharded-step updates equal single-device updates.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from flownet2_tpu.parallel import (
+    MeshConfig,
+    make_mesh,
+    make_parallel_train_step,
+    replicate,
+    shard_batch,
+)
+from flownet2_tpu.train import SolverConfig, TrainState
+from flownet2_tpu.train.solver import make_train_step
+from flownet2_tpu.train.solvers import make_solver
+
+
+def _toy_loss(params, batch):
+    # mean-squared "prediction" loss with batch-mean reduction, so gradients
+    # match between 1-device and N-device execution
+    pred = batch["x"] @ params["w"]
+    loss = jnp.mean(jnp.square(pred - batch["y"]))
+    return loss, {"loss": loss}
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) == 8, "conftest must provide 8 virtual devices"
+    return make_mesh(MeshConfig(data=4, spatial=2))
+
+
+def test_mesh_shape(mesh):
+    assert dict(mesh.shape) == {"data": 4, "spatial": 2}
+
+
+def test_data_parallel_matches_single_device(mesh):
+    cfg = SolverConfig(solver_type="sgd", base_lr=0.1, momentum=0.9)
+    tx = make_solver(cfg)
+    params = {"w": jnp.asarray(np.random.default_rng(0).standard_normal((4, 2)), jnp.float32)}
+
+    rng = np.random.default_rng(1)
+    batch = {
+        "x": rng.standard_normal((8, 4)).astype(np.float32),
+        "y": rng.standard_normal((8, 2)).astype(np.float32),
+    }
+
+    # single-device reference
+    step = make_train_step(_toy_loss, tx)
+    s0 = TrainState(params, tx.init(params), jnp.zeros([], jnp.int32))
+    s0, loss0, _ = jax.jit(step)(s0, jax.tree.map(jnp.asarray, batch))
+
+    # 8-way data-parallel (no spatial axis for 2D inputs)
+    dp_mesh = make_mesh(MeshConfig(data=8, spatial=1))
+    pstep = make_parallel_train_step(make_train_step(_toy_loss, tx), dp_mesh, spatial=False)
+    s1 = TrainState(params, tx.init(params), jnp.zeros([], jnp.int32))
+    s1 = replicate(s1, dp_mesh)
+    sharded = shard_batch(batch, dp_mesh, spatial=False)
+    s1, loss1, _ = pstep(s1, sharded)
+
+    assert float(loss0) == pytest.approx(float(loss1), rel=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(s0.params["w"]), np.asarray(s1.params["w"]), rtol=1e-5
+    )
+
+
+def test_spatial_sharding_conv_net(mesh):
+    """FlowNetC training step under (data=4, spatial=2): convolution halo
+    exchange + correlation under SPMD must compile and produce finite loss
+    equal to the unsharded step."""
+    from flownet2_tpu.models import flownet_c_init
+    from flownet2_tpu.train.objectives import flownet_c_loss
+
+    cfg = SolverConfig(solver_type="sgd", base_lr=1e-5, momentum=0.9)
+    tx = make_solver(cfg)
+    params = flownet_c_init(jax.random.PRNGKey(0))
+
+    rng = np.random.default_rng(2)
+    batch = {
+        "img0": rng.uniform(0, 255, (4, 64, 128, 3)).astype(np.float32),
+        "img1": rng.uniform(0, 255, (4, 64, 128, 3)).astype(np.float32),
+        "flow": rng.uniform(-5, 5, (4, 64, 128, 2)).astype(np.float32),
+    }
+
+    step = make_train_step(flownet_c_loss, tx)
+    s_ref = TrainState(params, tx.init(params), jnp.zeros([], jnp.int32))
+    _, loss_ref, _ = jax.jit(step)(s_ref, jax.tree.map(jnp.asarray, batch))
+
+    pstep = make_parallel_train_step(step, mesh, spatial=True)
+    s = TrainState(params, tx.init(params), jnp.zeros([], jnp.int32))
+    s = replicate(s, mesh)
+    sharded = shard_batch(batch, mesh, spatial=True)
+    s, loss, _ = pstep(s, sharded)
+
+    assert np.isfinite(float(loss))
+    assert float(loss) == pytest.approx(float(loss_ref), rel=1e-4)
+
+
+def test_graft_entry_dryrun():
+    import importlib.util, pathlib
+
+    spec = importlib.util.spec_from_file_location(
+        "_graft", pathlib.Path(__file__).parent.parent / "__graft_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.dryrun_multichip(8)

@@ -1,0 +1,218 @@
+"""Solver / LR policy / loss tests (reference analogues: test_solver.cpp,
+test_gradient_based_solver.cpp)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from flownet2_tpu.ops.losses import LpqSchedule, epe, l1_loss, lpq_loss, multiscale_l1_loss
+from flownet2_tpu.train import Solver, SolverConfig, TrainState
+from flownet2_tpu.train.lr_policies import FLOWNET_SCHEDULES, flownet_schedule, lr_policy
+from flownet2_tpu.train.solver import make_train_step
+from flownet2_tpu.train.solvers import make_solver
+
+
+class TestLrPolicies:
+    def test_fixed(self):
+        s = lr_policy("fixed", 0.1)
+        assert float(s(0)) == pytest.approx(0.1)
+        assert float(s(10**6)) == pytest.approx(0.1)
+
+    def test_step(self):
+        s = lr_policy("step", 1.0, gamma=0.1, stepsize=100)
+        assert float(s(99)) == pytest.approx(1.0)
+        assert float(s(100)) == pytest.approx(0.1)
+        assert float(s(250)) == pytest.approx(0.01, rel=1e-5)
+
+    def test_exp(self):
+        s = lr_policy("exp", 1.0, gamma=0.99)
+        assert float(s(10)) == pytest.approx(0.99**10, rel=1e-5)
+
+    def test_inv(self):
+        s = lr_policy("inv", 1.0, gamma=1e-4, power=0.75)
+        assert float(s(1000)) == pytest.approx((1 + 0.1) ** -0.75, rel=1e-5)
+
+    def test_multistep(self):
+        s = lr_policy("multistep", 1.0, gamma=0.5, stepvalues=(10, 20, 30))
+        got = [float(s(i)) for i in (5, 10, 15, 25, 35)]
+        assert got == pytest.approx([1.0, 0.5, 0.5, 0.25, 0.125])
+
+    def test_poly(self):
+        s = lr_policy("poly", 1.0, power=2.0, max_iter=100)
+        assert float(s(50)) == pytest.approx(0.25)
+
+    def test_sigmoid(self):
+        s = lr_policy("sigmoid", 1.0, gamma=0.5, stepsize=10)
+        assert float(s(10)) == pytest.approx(0.5)
+
+    def test_flownet_presets(self):
+        for name in FLOWNET_SCHEDULES:
+            sched, max_iter = flownet_schedule(name)
+            assert max_iter > 0
+            assert float(sched(0)) > 0
+
+
+class TestLosses:
+    def test_epe_basic(self, rng):
+        pred = jnp.zeros((1, 4, 4, 2))
+        gt = jnp.ones((1, 4, 4, 2))
+        assert float(epe(pred, gt)) == pytest.approx(np.sqrt(2.0), rel=1e-6)
+
+    def test_epe_ignores_nan(self):
+        pred = jnp.zeros((1, 2, 2, 2))
+        gt = jnp.ones((1, 2, 2, 2)).at[0, 0, 0, :].set(jnp.nan)
+        assert float(epe(pred, gt)) == pytest.approx(np.sqrt(2.0), rel=1e-6)
+
+    def test_l1_plain(self, rng):
+        pred = jnp.asarray(rng.standard_normal((2, 4, 4, 2)).astype(np.float32))
+        gt = jnp.asarray(rng.standard_normal((2, 4, 4, 2)).astype(np.float32))
+        loss = l1_loss(pred, gt)
+        want = np.abs(np.asarray(pred) - np.asarray(gt)).sum() / 2  # / batch
+        assert float(loss) == pytest.approx(want, rel=1e-5)
+
+    def test_l1_epe_mode_matches_formula(self, rng):
+        pred = jnp.asarray(rng.standard_normal((1, 4, 4, 2)).astype(np.float32))
+        gt = jnp.asarray(rng.standard_normal((1, 4, 4, 2)).astype(np.float32))
+        eps = 1e-2
+        loss = l1_loss(pred, gt, l2_per_location=True, epsilon=eps)
+        d = np.asarray(pred) - np.asarray(gt)
+        want = np.sqrt((d**2).sum(-1) + eps).sum()
+        assert float(loss) == pytest.approx(want, rel=1e-5)
+
+    def test_l1_nan_masking(self):
+        pred = jnp.zeros((1, 2, 2, 2))
+        gt = jnp.full((1, 2, 2, 2), jnp.nan)
+        loss = l1_loss(pred, gt, l2_per_location=True, epsilon=0.0)
+        assert float(loss) == pytest.approx(0.0)
+        g = jax.grad(lambda p: l1_loss(p, gt, l2_per_location=True))(pred)
+        assert np.all(np.isfinite(np.asarray(g)))
+
+    def test_l1_plateau(self):
+        pred = jnp.asarray([[[[0.05, 0.0], [3.0, 4.0]]]])  # (1,1,2,2)
+        gt = jnp.zeros((1, 1, 2, 2))
+        # plateau 1.0 in EPE mode: first location (norm² = 0.0025) masked
+        loss = l1_loss(pred, gt, l2_per_location=True, plateau=1.0, epsilon=0.0)
+        assert float(loss) == pytest.approx(5.0, rel=1e-5)
+
+    def test_lpq_reduces_to_epe(self, rng):
+        pred = jnp.asarray(rng.standard_normal((1, 4, 4, 2)).astype(np.float32))
+        gt = jnp.asarray(rng.standard_normal((1, 4, 4, 2)).astype(np.float32))
+        a = lpq_loss(pred, gt, p=2.0, q=0.5, q_epsilon=1e-2)
+        b = l1_loss(pred, gt, l2_per_location=True, epsilon=1e-2)
+        assert float(a) == pytest.approx(float(b), rel=1e-5)
+
+    def test_lpq_schedule(self):
+        s = LpqSchedule(start_iters=(0, 1000, 500000), ps=(1.0, 2.0, 2.0), qs=(1.0, 1.0, 2.0))
+        assert s.at(0) == (1.0, 1.0)
+        assert s.at(999) == (1.0, 1.0)
+        assert s.at(1000) == (2.0, 1.0)
+        assert s.at(10**6) == (2.0, 2.0)
+        with pytest.raises(ValueError):
+            LpqSchedule(start_iters=(5,), ps=(1.0,), qs=(1.0,))
+
+    def test_multiscale(self, rng):
+        gt = jnp.asarray(rng.standard_normal((1, 16, 16, 2)).astype(np.float32))
+        flows = {
+            "flow2": jnp.zeros((1, 4, 4, 2)),
+            "flow3": jnp.zeros((1, 2, 2, 2)),
+        }
+        total, per_scale = multiscale_l1_loss(flows, gt)
+        assert set(per_scale) == {"flow2", "flow3"}
+        assert float(total) > 0
+
+
+def _quadratic_loss(params, batch):
+    # simple convex problem: params should converge toward batch targets
+    loss = jnp.sum(jnp.square(params["w"] - batch["target"]))
+    return loss, {"loss": loss}
+
+
+class TestSolverLoop:
+    @pytest.mark.parametrize(
+        "solver_type", ["sgd", "nesterov", "adagrad", "rmsprop", "adadelta", "adam"]
+    )
+    def test_all_solvers_descend(self, solver_type):
+        cfg = SolverConfig(solver_type=solver_type, base_lr=0.05, momentum=0.9)
+        params = {"w": jnp.zeros((4,))}
+        tx = make_solver(cfg)
+        step = make_train_step(_quadratic_loss, tx)
+        state = TrainState(params, tx.init(params), jnp.zeros([], jnp.int32))
+        batch = {"target": jnp.ones((4,))}
+        first = None
+        for _ in range(50):
+            state, loss, _ = step(state, batch)
+            first = float(loss) if first is None else first
+        assert float(loss) < first
+
+    def test_sgd_matches_caffe_update_rule(self):
+        # v = m*v + lr*g ; w -= v   (reference sgd_solver.cpp semantics)
+        lr, m = 0.1, 0.9
+        cfg = SolverConfig(solver_type="sgd", base_lr=lr, momentum=m)
+        tx = make_solver(cfg)
+        w0 = 1.0
+        params = {"w": jnp.asarray([w0])}
+        state = tx.init(params)
+        g = jnp.asarray([0.5])
+        v = 0.0
+        w = w0
+        import optax
+
+        for _ in range(3):
+            updates, state = tx.update({"w": g}, state, params)
+            params = optax.apply_updates(params, updates)
+            v = m * v + lr * 0.5
+            w = w - v
+        assert float(params["w"][0]) == pytest.approx(w, rel=1e-6)
+
+    def test_iter_size_accumulation(self):
+        cfg = SolverConfig(solver_type="sgd", base_lr=0.1, momentum=0.0, iter_size=4)
+        tx = make_solver(cfg)
+        params = {"w": jnp.zeros((2,))}
+        step = make_train_step(_quadratic_loss, tx, iter_size=4)
+        state = TrainState(params, tx.init(params), jnp.zeros([], jnp.int32))
+        batch = {"target": jnp.ones((4, 2))}  # leading micro axis
+        state, loss, _ = step(state, batch)
+        assert int(state.iteration) == 1
+        # averaged gradient of 4 identical micro-batches == single batch grad
+        np.testing.assert_allclose(np.asarray(state.params["w"]), 0.2, rtol=1e-5)
+
+    def test_solver_solve_and_snapshot(self, tmp_path):
+        cfg = SolverConfig(solver_type="sgd", base_lr=0.1, momentum=0.9, max_iter=20)
+        solver = Solver(
+            cfg,
+            _quadratic_loss,
+            {"w": jnp.zeros((3,))},
+            snapshot_dir=str(tmp_path),
+            snapshot_interval=10,
+            display=10,
+        )
+
+        def data():
+            while True:
+                yield {"target": jnp.ones((3,))}
+
+        solver.solve(data(), log=lambda s: None)
+        assert solver.iteration == 20
+        assert solver.smoothed_loss < 1.0
+
+        # restore into a fresh solver
+        path = solver.snapshot()
+        solver2 = Solver(cfg, _quadratic_loss, {"w": jnp.zeros((3,))})
+        solver2.restore(path)
+        assert solver2.iteration == 20
+        np.testing.assert_allclose(
+            np.asarray(solver2.state.params["w"]),
+            np.asarray(solver.state.params["w"]),
+            rtol=1e-6,
+        )
+
+    def test_copy_weights_partial(self):
+        cfg = SolverConfig()
+        solver = Solver(cfg, _quadratic_loss, {"w": jnp.zeros((3,))})
+        solver.copy_weights_from({"w": jnp.ones((3,)), "extra": jnp.ones((5,))})
+        np.testing.assert_allclose(np.asarray(solver.state.params["w"]), 1.0)
+        # shape mismatch silently skipped unless strict
+        solver.copy_weights_from({"w": jnp.ones((7,))})
+        with pytest.raises(ValueError):
+            solver.copy_weights_from({"w": jnp.ones((7,))}, strict=True)
