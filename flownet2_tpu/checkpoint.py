@@ -1,0 +1,46 @@
+"""Weight file I/O: flat-npz param archives (+ orbax for full train state).
+
+The reference stores weights as binaryproto ``.caffemodel`` / HDF5
+(net.cpp:752-885); the native format here is a flat ``.npz`` with
+``/``-joined nested keys — self-describing, mmap-friendly, and trivially
+inspectable. ``flownet2_tpu.models.import_caffe`` converts reference
+caffemodels into this layout.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+import jax.numpy as jnp
+
+
+def flatten_params(params: dict, prefix: str = "") -> dict[str, np.ndarray]:
+    out = {}
+    for k, v in params.items():
+        key = f"{prefix}/{k}" if prefix else k
+        if isinstance(v, dict):
+            out.update(flatten_params(v, key))
+        else:
+            out[key] = np.asarray(v)
+    return out
+
+
+def unflatten_params(flat: dict[str, np.ndarray]) -> dict:
+    out: dict = {}
+    for key, v in flat.items():
+        parts = key.split("/")
+        d = out
+        for p in parts[:-1]:
+            d = d.setdefault(p, {})
+        d[parts[-1]] = jnp.asarray(v)
+    return out
+
+
+def save_params(path: str, params: dict) -> None:
+    np.savez(path, **flatten_params(params))
+
+
+def load_params(path: str) -> dict:
+    with np.load(path) as z:
+        return unflatten_params({k: z[k] for k in z.files})

@@ -1,0 +1,112 @@
+"""train: the ``caffe train`` brew command (tools/caffe.cpp:154-226).
+
+    train.py --model flownets --dataset flyingchairs --data-root DIR
+             [--weights W.npz] [--snapshot DIR/iter_xxx] [--schedule S_long]
+             [--batch 8] [--crop 320x448] ...
+
+Maps the reference flags: ``--weights`` copies matching layers for
+finetuning, ``--snapshot`` resumes a full TrainState, ``--gpu`` becomes the
+mesh size (all local devices by default — the multi-device path is a mesh,
+not per-GPU solver threads).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--model", default="flownets", help="flownets|flownetc|flownet2-sd")
+    p.add_argument("--dataset", default="flyingchairs")
+    p.add_argument("--data-root", required=True)
+    p.add_argument("--schedule", default="S_long", help="S_long|S_short|S_fine")
+    p.add_argument("--solver", default="adam", help="sgd|nesterov|adagrad|rmsprop|adadelta|adam")
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--crop", default="320x448", help="HxW training crop")
+    p.add_argument("--iter-size", type=int, default=1)
+    p.add_argument("--max-iter", type=int, default=0, help="0: schedule default")
+    p.add_argument("--weights", default=None, help="finetune from .npz/.caffemodel")
+    p.add_argument("--snapshot", default=None, help="resume from orbax snapshot dir")
+    p.add_argument("--snapshot-dir", default="snapshots")
+    p.add_argument("--snapshot-interval", type=int, default=50000)
+    p.add_argument("--display", type=int, default=100)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--no-augment", action="store_true")
+    args = p.parse_args(argv)
+
+    import jax
+    import numpy as np
+
+    from flownet2_tpu.data import BatchLoader, open_dataset
+    from flownet2_tpu.data.augment_pipeline import make_flownet_augmenter
+    from flownet2_tpu.inference import MODEL_INITS
+    from flownet2_tpu.train import Solver, SolverConfig
+    from flownet2_tpu.train.lr_policies import FLOWNET_SCHEDULES
+    from flownet2_tpu.train.objectives import LOSSES
+
+    if args.model not in LOSSES:
+        raise SystemExit(f"no training objective for {args.model!r}; choose {sorted(LOSSES)}")
+    crop_h, crop_w = (int(v) for v in args.crop.split("x"))
+
+    sched = dict(FLOWNET_SCHEDULES[args.schedule])
+    max_iter = args.max_iter or sched.pop("max_iter")
+    sched.pop("max_iter", None)
+    config = SolverConfig(
+        solver_type=args.solver,
+        lr_policy=sched["policy"],
+        base_lr=sched["base_lr"],
+        gamma=sched.get("gamma", 0.1),
+        stepvalues=sched.get("stepvalues", ()),
+        max_iter=max_iter,
+        momentum=0.9,
+        momentum2=0.999,
+        iter_size=args.iter_size,
+    )
+
+    from flownet2_tpu.data.augment_pipeline import make_augmented_loss
+
+    loss_fn = LOSSES[args.model]
+    if not args.no_augment:
+        loss_fn = make_augmented_loss(loss_fn, crop_h, crop_w, seed=args.seed)
+
+    params = MODEL_INITS[args.model](jax.random.PRNGKey(args.seed))
+    solver = Solver(
+        config,
+        loss_fn,
+        params,
+        snapshot_dir=args.snapshot_dir,
+        snapshot_interval=args.snapshot_interval,
+        display=args.display,
+    )
+    solver.install_signal_handlers()
+
+    if args.weights:
+        from flownet2_tpu.cli.run_flownet import load_weights
+
+        solver.copy_weights_from(load_weights(args.weights, args.model))
+    if args.snapshot:
+        solver.restore(args.snapshot)
+
+    dataset = open_dataset(args.dataset, args.data_root)
+    transform = None if args.no_augment else make_flownet_augmenter(crop_h, crop_w)
+    loader = BatchLoader(
+        dataset,
+        args.batch,
+        crop=None if transform else (crop_h, crop_w),
+        shuffle_seed=args.seed,
+        transform=transform,
+    )
+    print(
+        f"Training {args.model} on {args.dataset} ({len(dataset)} samples), "
+        f"{max_iter} iterations, crop {crop_h}x{crop_w}, batch {args.batch}"
+    )
+    solver.solve(iter(loader), max_iter=max_iter)
+    print(f"Optimization done, final smoothed loss {solver.smoothed_loss:.4f}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,28 @@
+"""Data pipeline: LMDB-free streaming datasets + prefetching loader.
+
+Replaces the reference's LMDB path (DataReader/CustomData,
+SURVEY.md §2.1/§2.2) with direct file streaming plus an optional packed
+record format that keeps the reference's exact datum encoding (uint8 images,
+int16 ×32 fixed-point flow, bit-packed occlusions).
+"""
+
+from flownet2_tpu.data.datasets import (
+    FlowPairDataset,
+    FlyingChairs,
+    FlyingThings3D,
+    ChairsSDHom,
+    open_dataset,
+)
+from flownet2_tpu.data.records import FlowRecordReader, FlowRecordWriter
+from flownet2_tpu.data.pipeline import BatchLoader
+
+__all__ = [
+    "FlowPairDataset",
+    "FlyingChairs",
+    "FlyingThings3D",
+    "ChairsSDHom",
+    "open_dataset",
+    "FlowRecordReader",
+    "FlowRecordWriter",
+    "BatchLoader",
+]

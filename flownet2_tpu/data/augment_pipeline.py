@@ -1,0 +1,200 @@
+"""The training augmentation pipeline: host coefficient sampling + device
+application, glued into BatchLoader and the training objectives.
+
+Replaces the reference's DataAugmentation/GenerateAugmentationParameters/
+FlowAugmentation layer trio (SURVEY.md §2.2, §3.2 training call stack):
+
+- host (this module, inside the loader threads): sample per-item valid
+  spatial affines for frame 1, offset affines for frame 2 (paired-coeff
+  sharing — the coeff-blob plumbing of data_augmentation_layer.cu:349-350),
+  chromatic coefficients, and a noise std; attach them to the batch as
+  small arrays;
+- device (``apply_augmentation_device``, called inside the jitted loss):
+  batched inverse-affine warps of both images, the consistent GT flow
+  transform, chromatic adjustment, and gaussian noise.
+
+Default coefficient distributions approximate the released FlowNet2
+training templates (the prototxts are downloaded, not in-tree —
+models/download-models.sh): translate ±0.4 (fraction of crop), rotate
+±0.4 rad, log-zoom N-ish uniform exp(0.2±0.4), squeeze exp(±0.3),
+chromatic gamma/brightness/contrast/color, gaussian noise spread 0.04.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from flownet2_tpu.ops.augment import (
+    ChromaticAugSpec,
+    CoeffSchedule,
+    EffectAugSpec,
+    RandomSpec,
+    SpatialAugSpec,
+    SpatialCoeffs,
+    apply_chromatic_transform,
+    apply_flow_augmentation,
+    apply_gaussian_noise,
+    apply_spatial_transform,
+    invert_affine,
+    sample_valid_spatial_coeffs,
+    spatial_matrix,
+)
+
+
+@dataclass(frozen=True)
+class FlowNetAugConfig:
+    spatial: SpatialAugSpec = SpatialAugSpec(
+        mirror=None,  # mirroring breaks flow sign conventions; ref nets omit it
+        translate=RandomSpec("uniform_bernoulli", mean=0.0, spread=0.4, prob=1.0),
+        rotate=RandomSpec("uniform_bernoulli", mean=0.0, spread=0.4, prob=1.0),
+        zoom=RandomSpec("uniform_bernoulli", exp=True, mean=0.2, spread=0.4, prob=1.0),
+        squeeze=RandomSpec("uniform_bernoulli", exp=True, mean=0.0, spread=0.3, prob=1.0),
+    )
+    # frame-2 offset relative to frame 1 (the GenerateAugmentationParameters
+    # "add" mode): small relative translate/rotate/zoom.
+    spatial_offset: SpatialAugSpec = SpatialAugSpec(
+        translate=RandomSpec("gaussian_bernoulli", mean=0.0, spread=0.03, prob=1.0),
+        rotate=RandomSpec("gaussian_bernoulli", mean=0.0, spread=0.03, prob=1.0),
+        zoom=RandomSpec("gaussian_bernoulli", exp=True, mean=0.0, spread=0.03, prob=1.0),
+    )
+    chromatic: ChromaticAugSpec = ChromaticAugSpec(
+        gamma=RandomSpec("gaussian_bernoulli", exp=True, mean=0.0, spread=0.02, prob=1.0),
+        brightness=RandomSpec("gaussian_bernoulli", mean=0.0, spread=0.02, prob=1.0),
+        contrast=RandomSpec("gaussian_bernoulli", exp=True, mean=0.0, spread=0.02, prob=1.0),
+        color=RandomSpec("gaussian_bernoulli", exp=True, mean=0.0, spread=0.02, prob=1.0),
+    )
+    effect: EffectAugSpec = EffectAugSpec(
+        noise=RandomSpec("uniform_bernoulli", mean=0.03, spread=0.03, prob=1.0)
+    )
+    schedule: CoeffSchedule = CoeffSchedule(half_life=50000, initial_coeff=0.5, final_coeff=1.0)
+
+
+def make_flownet_augmenter(
+    crop_h: int,
+    crop_w: int,
+    config: FlowNetAugConfig = FlowNetAugConfig(),
+) -> Callable[[dict, np.random.Generator], dict]:
+    """Host-side transform for BatchLoader: attach per-item aug arrays.
+
+    The returned batch gains:
+      aug_mat0/aug_mat1      (N, 6)  crop→source affines for each frame
+      aug_inv_mat1           (N, 6)  source→crop affine for frame 2
+      aug_gamma/brightness/contrast (N,), aug_color (N, 3), aug_noise (N,)
+    Images/flow stay at source resolution; the device side produces crops.
+    """
+
+    def transform(batch: dict, rng: np.random.Generator) -> dict:
+        n, src_h, src_w = batch["img0"].shape[:3]
+        # iteration isn't known host-side; callers can pre-scale spreads.
+        discount = 1.0
+        m0 = np.zeros((n, 6), np.float32)
+        m1 = np.zeros((n, 6), np.float32)
+        inv1 = np.zeros((n, 6), np.float32)
+        gamma = np.ones((n,), np.float32)
+        brightness = np.zeros((n,), np.float32)
+        contrast = np.ones((n,), np.float32)
+        color = np.ones((n, 3), np.float32)
+        noise = np.zeros((n,), np.float32)
+        for i in range(n):
+            c0 = sample_valid_spatial_coeffs(
+                config.spatial,
+                rng,
+                crop_w=crop_w,
+                crop_h=crop_h,
+                src_w=src_w,
+                src_h=src_h,
+                discount=discount,
+            )
+            c1 = sample_valid_spatial_coeffs(
+                config.spatial_offset,
+                rng,
+                crop_w=crop_w,
+                crop_h=crop_h,
+                src_w=src_w,
+                src_h=src_h,
+                discount=discount,
+                base=c0,
+            )
+            a0 = spatial_matrix(c0, crop_w, crop_h, src_w, src_h)
+            a1 = spatial_matrix(c1, crop_w, crop_h, src_w, src_h)
+            m0[i] = a0
+            m1[i] = a1
+            inv1[i] = invert_affine(a1)
+            ch = config.chromatic.sample(rng, discount)
+            gamma[i] = ch.gamma
+            brightness[i] = ch.brightness
+            contrast[i] = ch.contrast
+            color[i] = ch.color
+            noise[i] = max(config.effect.sample_noise_std(rng, discount), 0.0)
+        batch = dict(batch)
+        batch.update(
+            aug_mat0=m0,
+            aug_mat1=m1,
+            aug_inv_mat1=inv1,
+            aug_gamma=gamma,
+            aug_brightness=brightness,
+            aug_contrast=contrast,
+            aug_color=color,
+            aug_noise=noise,
+        )
+        return batch
+
+    return transform
+
+
+def apply_augmentation_device(batch: dict, key: jax.Array, crop_h: int, crop_w: int) -> dict:
+    """Device-side application (inside the jitted train step).
+
+    Consumes the aug_* arrays; returns {img0, img1, flow} at crop
+    resolution, images still in the 0-255 range (chromatic ops run in the
+    [0,1] domain like the reference training nets, which rescale via an
+    Eltwise 1/255 before augmentation).
+    """
+    img0 = apply_spatial_transform(
+        batch["img0"].astype(jnp.float32) / 255.0, batch["aug_mat0"], crop_h, crop_w
+    )
+    img1 = apply_spatial_transform(
+        batch["img1"].astype(jnp.float32) / 255.0, batch["aug_mat1"], crop_h, crop_w
+    )
+    flow = apply_flow_augmentation(
+        batch["flow"].astype(jnp.float32),
+        batch["aug_mat0"],
+        batch["aug_inv_mat1"],
+        crop_h,
+        crop_w,
+    )
+    # chromatic applies to both frames with the same coefficients
+    k0, k1 = jax.random.split(key)
+    img0 = apply_chromatic_transform(
+        img0, batch["aug_gamma"], batch["aug_brightness"], batch["aug_contrast"], batch["aug_color"]
+    )
+    img1 = apply_chromatic_transform(
+        img1, batch["aug_gamma"], batch["aug_brightness"], batch["aug_contrast"], batch["aug_color"]
+    )
+    img0 = apply_gaussian_noise(img0, batch["aug_noise"], k0)
+    img1 = apply_gaussian_noise(img1, batch["aug_noise"], k1)
+    return {"img0": img0 * 255.0, "img1": img1 * 255.0, "flow": flow}
+
+
+def make_augmented_loss(
+    base_loss: Callable, crop_h: int, crop_w: int, seed: int = 0
+) -> Callable:
+    """Wrap a training objective so it applies device augmentation first.
+    The noise key derives from a fingerprint of the host-sampled affines
+    (deterministic per batch, varying per step)."""
+
+    base_key = jax.random.PRNGKey(seed)
+
+    def loss_fn(params, batch):
+        if "aug_mat0" in batch:
+            fp = jnp.sum(batch["aug_mat0"]).astype(jnp.float32)
+            key = jax.random.fold_in(base_key, jnp.abs(fp * 1e4).astype(jnp.int32))
+            batch = apply_augmentation_device(batch, key, crop_h, crop_w)
+        return base_loss(params, batch)
+
+    return loss_fn

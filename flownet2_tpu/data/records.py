@@ -1,0 +1,124 @@
+"""Packed flow records: the LMDB-free equivalent of the reference's datum
+packing (tools/convert_imageset_and_flow.cpp:142-240).
+
+On-disk record payload keeps the reference's exact channel encoding so data
+round-trips losslessly between both frameworks' converters:
+
+- img0, img1: 3-channel uint8 each;
+- flow: 2-channel int16 fixed point (value = flow×32, NaN → SHRT_MAX);
+- optional occlusion: 1 bit/pixel, little-endian bit order.
+
+Container: a flat ``.flowrec`` file of length-prefixed records plus a
+``.flowrec.idx`` int64 offset table (seekable random access — the role
+LMDB's B-tree played, without the dependency). Header per record:
+``H (u32) | W (u32) | flags (u32)`` with flag bit 0 = has-occlusion.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+from typing import Iterator, Optional
+
+import numpy as np
+
+from flownet2_tpu.core.codec import (
+    decode_flow_int16,
+    decode_occlusion_bits,
+    encode_flow_int16,
+    encode_occlusion_bits,
+)
+
+MAGIC = b"FLR1"
+_FLAG_OCC = 1
+
+
+class FlowRecordWriter:
+    def __init__(self, path: str):
+        self.path = os.fspath(path)
+        self._f = open(self.path, "wb")
+        self._f.write(MAGIC)
+        self._offsets: list[int] = []
+
+    def write(
+        self,
+        img0: np.ndarray,
+        img1: np.ndarray,
+        flow: np.ndarray,
+        occ: Optional[np.ndarray] = None,
+    ) -> None:
+        h, w = img0.shape[:2]
+        if img1.shape[:2] != (h, w) or flow.shape[:2] != (h, w):
+            raise ValueError("img0/img1/flow dimensions must match")
+        flags = _FLAG_OCC if occ is not None else 0
+        payload = [
+            np.ascontiguousarray(img0[..., :3], dtype=np.uint8).tobytes(),
+            np.ascontiguousarray(img1[..., :3], dtype=np.uint8).tobytes(),
+            encode_flow_int16(flow[..., :2]).tobytes(),
+        ]
+        if occ is not None:
+            payload.append(encode_occlusion_bits(occ).tobytes())
+        body = struct.pack("<III", h, w, flags) + b"".join(payload)
+        self._offsets.append(self._f.tell())
+        self._f.write(struct.pack("<Q", len(body)))
+        self._f.write(body)
+
+    def close(self) -> None:
+        self._f.close()
+        with open(self.path + ".idx", "wb") as f:
+            f.write(struct.pack("<Q", len(self._offsets)))
+            np.asarray(self._offsets, "<i8").tofile(f)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+class FlowRecordReader:
+    """Random-access reader; an item loads to the same dict shape as
+    FlowPairDataset items (float32 HWC arrays, flow with NaN invalids)."""
+
+    def __init__(self, path: str):
+        self.path = os.fspath(path)
+        self._f = open(self.path, "rb")
+        if self._f.read(4) != MAGIC:
+            raise ValueError(f"{path}: not a .flowrec file")
+        with open(self.path + ".idx", "rb") as f:
+            (n,) = struct.unpack("<Q", f.read(8))
+            self._offsets = np.fromfile(f, "<i8", count=n)
+
+    def __len__(self) -> int:
+        return len(self._offsets)
+
+    def __getitem__(self, i: int) -> dict:
+        self._f.seek(int(self._offsets[i]))
+        (length,) = struct.unpack("<Q", self._f.read(8))
+        body = self._f.read(length)
+        h, w, flags = struct.unpack_from("<III", body, 0)
+        off = 12
+        n_img = h * w * 3
+        img0 = np.frombuffer(body, np.uint8, n_img, off).reshape(h, w, 3)
+        off += n_img
+        img1 = np.frombuffer(body, np.uint8, n_img, off).reshape(h, w, 3)
+        off += n_img
+        flow = decode_flow_int16(
+            np.frombuffer(body, np.int16, h * w * 2, off).reshape(h, w, 2)
+        )
+        off += h * w * 4
+        out = {
+            "img0": img0.astype(np.float32),
+            "img1": img1.astype(np.float32),
+            "flow": flow,
+        }
+        if flags & _FLAG_OCC:
+            n_occ = (h * w + 7) // 8
+            occ = decode_occlusion_bits(
+                np.frombuffer(body, np.uint8, n_occ, off), (h, w)
+            )
+            out["occ"] = occ.astype(np.float32)[..., None]
+        return out
+
+    def close(self):
+        self._f.close()

@@ -19,7 +19,7 @@ from flownet2_tpu.models.common import (
     refinement_decoder,
 )
 from flownet2_tpu.ops.activations import leaky_relu
-from flownet2_tpu.ops.correlation import correlation
+from flownet2_tpu.ops.correlation import correlation_auto as correlation
 
 CORR_KWARGS = dict(max_displacement=20, kernel_size=1, stride1=1, stride2=2, pad=20)
 CORR_CHANNELS = 441

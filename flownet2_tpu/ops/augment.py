@@ -1,0 +1,468 @@
+"""The augmentation engine: coefficient sampling + device-side transforms.
+
+Reference: src/caffe/layers/{augmentation_layer_base,data_augmentation_layer,
+flow_augmentation_layer,generate_augmentation_parameters_layer,
+black_augmentation_layer}.* (SURVEY.md §2.2). Architecture here:
+
+- **Host side** (numpy): per-item coefficient sampling with the reference's
+  distributions (RandomGeneratorParameter semantics, util/rng.cpp:8-114:
+  uniform/gaussian/bernoulli[+_bernoulli combos], optional exp, discretize,
+  multiplier, spread scaled by the discount schedule), and the
+  rejection loop keeping the transformed crop inside the source image
+  (augmentation_layer_base.cpp:101-169, ≤50 tries). Data-dependent trial
+  loops don't belong in a TPU program.
+- **Device side** (jit): batched inverse-affine bilinear warps (the
+  SpatialAugmentation kernel, data_augmentation_layer.cu:25-70), chromatic
+  ops (ColorContrastAugmentation, :73-117), gaussian noise, and the paired
+  flow transform (flow_augmentation_layer.cu:24-89). All fuse into the
+  training step.
+
+Affine convention (augmentation_layer_base.cpp:14-48): 2×3 matrices compose
+center → mirror → rotate → translate → zoom⁻¹ → uncenter; the matrix maps
+OUTPUT (crop) pixel coords to SOURCE pixel coords, so application is a
+single inverse-warp gather.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+# ---------------------------------------------------------------------------
+# Random generator spec (RandomGeneratorParameter, caffe.proto:607-616)
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class RandomSpec:
+    rand_type: str = "uniform"  # uniform|gaussian|bernoulli|uniform_bernoulli|gaussian_bernoulli
+    exp: bool = False
+    mean: float = 0.0
+    spread: float = 0.0
+    prob: float = 1.0
+    apply_schedule: bool = True
+    discretize: bool = False
+    multiplier: float = 1.0
+
+    def sample(self, rng: np.random.Generator, discount: float = 1.0, prob0_value: float = np.nan) -> float:
+        """Mirror of caffe_rng_generate (util/rng.cpp:8-114)."""
+        spread = self.spread * discount if self.apply_schedule else self.spread
+        t = self.rand_type
+        if t == "uniform":
+            v = rng.uniform(self.mean - spread, self.mean + spread) if spread > 0 else self.mean
+            if self.exp:
+                v = math.exp(v)
+        elif t == "gaussian":
+            v = rng.normal(self.mean, spread) if spread > 0 else self.mean
+            if self.exp:
+                v = math.exp(v)
+        elif t == "bernoulli":
+            v = float(rng.uniform() < self.prob) if self.prob > 0 else 0.0
+        elif t in ("uniform_bernoulli", "gaussian_bernoulli"):
+            on = (rng.uniform() < self.prob) if self.prob > 0 else False
+            if not on:
+                if not math.isnan(prob0_value):
+                    return prob0_value
+                v = 0.0
+            else:
+                if spread > 0:
+                    v = (
+                        rng.uniform(self.mean - spread, self.mean + spread)
+                        if t == "uniform_bernoulli"
+                        else rng.normal(self.mean, spread)
+                    )
+                else:
+                    v = self.mean
+            if self.exp:
+                v = math.exp(v)
+        else:
+            raise ValueError(f"unknown rand_type {t!r}")
+        if self.discretize:
+            v = float(round(v))
+        return self.multiplier * v
+
+
+@dataclass(frozen=True)
+class CoeffSchedule:
+    """Discount ramp (CoeffScheduleParameter caffe.proto:693-697; formula
+    data_augmentation_layer.cu:370-372)."""
+
+    half_life: float = 1.0
+    initial_coeff: float = 1.0
+    final_coeff: float = 1.0
+
+    def at(self, iteration: float) -> float:
+        s = 2.0 / (1.0 + math.exp(-1.0986 * iteration / self.half_life)) - 1.0
+        return self.initial_coeff + (self.final_coeff - self.initial_coeff) * s
+
+
+# ---------------------------------------------------------------------------
+# Spatial coefficients + affine composition
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class SpatialCoeffs:
+    mirror: float = 0.0
+    dx: float = 0.0
+    dy: float = 0.0
+    angle: float = 0.0
+    zoom_x: float = 1.0
+    zoom_y: float = 1.0
+
+
+@dataclass(frozen=True)
+class SpatialAugSpec:
+    mirror: Optional[RandomSpec] = None
+    translate: Optional[RandomSpec] = None
+    translate_x: Optional[RandomSpec] = None
+    translate_y: Optional[RandomSpec] = None
+    rotate: Optional[RandomSpec] = None
+    zoom: Optional[RandomSpec] = None
+    squeeze: Optional[RandomSpec] = None
+
+    def any(self) -> bool:
+        return any(
+            getattr(self, f) is not None
+            for f in ("mirror", "translate", "translate_x", "translate_y", "rotate", "zoom", "squeeze")
+        )
+
+    def sample(self, rng: np.random.Generator, discount: float = 1.0) -> SpatialCoeffs:
+        """generate_spatial_coeffs (augmentation_layer_base.cpp:75-99)."""
+        c = SpatialCoeffs()
+        if self.mirror is not None:
+            c.mirror = self.mirror.sample(rng, discount)
+        if self.translate is not None:
+            c.dx = self.translate.sample(rng, discount)
+            c.dy = self.translate.sample(rng, discount)
+        if self.translate_x is not None:
+            c.dx = self.translate_x.sample(rng, discount)
+        if self.translate_y is not None:
+            c.dy = self.translate_y.sample(rng, discount)
+        if self.rotate is not None:
+            c.angle = self.rotate.sample(rng, discount)
+        if self.zoom is not None:
+            c.zoom_x = self.zoom.sample(rng, discount)
+            c.zoom_y = c.zoom_x
+        if self.squeeze is not None:
+            s = self.squeeze.sample(rng, discount)
+            c.zoom_x *= s
+            c.zoom_y /= s
+        return c
+
+
+def _left_multiply(m, u):
+    """Compose 2×3 affines the reference way (augmentation_layer_base.cpp:22-36).
+
+    m, u: tuples (t0..t5) with x' = t0*x + t2*y + t4, y' = t1*x + t3*y + t5.
+    """
+    t0, t1, t2, t3, t4, t5 = m
+    u0, u1, u2, u3, u4, u5 = u
+    return (
+        t0 * u0 + t1 * u2,
+        t0 * u1 + t1 * u3,
+        t2 * u0 + t3 * u2,
+        t2 * u1 + t3 * u3,
+        t4 * u0 + t5 * u2 + u4,
+        t4 * u1 + t5 * u3 + u5,
+    )
+
+
+def spatial_matrix(
+    c: SpatialCoeffs, crop_w: int, crop_h: int, src_w: int, src_h: int
+) -> np.ndarray:
+    """Crop-pixel → source-pixel affine (tTransMat::fromCoeff,
+    augmentation_layer_base.cpp:38-48). Returns (6,) float32 [t0..t5]."""
+    m = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+    if c.mirror:
+        m = _left_multiply(m, (-1, 0, 0, 1, 0.5 * crop_w, -0.5 * crop_h))
+    else:
+        m = _left_multiply(m, (1, 0, 0, 1, -0.5 * crop_w, -0.5 * crop_h))
+    if c.angle:
+        m = _left_multiply(
+            m,
+            (
+                math.cos(c.angle),
+                math.sin(c.angle),
+                -math.sin(c.angle),
+                math.cos(c.angle),
+                0,
+                0,
+            ),
+        )
+    if c.dx or c.dy:
+        m = _left_multiply(m, (1, 0, 0, 1, c.dx * crop_w, c.dy * crop_h))
+    if c.zoom_x != 1.0 or c.zoom_y != 1.0:
+        m = _left_multiply(m, (1.0 / c.zoom_x, 0, 0, 1.0 / c.zoom_y, 0, 0))
+    m = _left_multiply(m, (1, 0, 0, 1, 0.5 * src_w, 0.5 * src_h))
+    return np.asarray(m, np.float32)
+
+
+def invert_affine(m: np.ndarray) -> np.ndarray:
+    """tTransMat::inverse (augmentation_layer_base.cpp:52-69)."""
+    a, b, c, d, e, f = m
+    denom = a * d - b * c
+    return np.asarray(
+        [d / denom, -b / denom, -c / denom, a / denom, (c * f - d * e) / denom, (b * e - a * f) / denom],
+        np.float32,
+    )
+
+
+def crop_fits(c: SpatialCoeffs, crop_w: int, crop_h: int, src_w: int, src_h: int) -> bool:
+    """All 4 transformed crop corners land inside the source
+    (augmentation_layer_base.cpp:131-162)."""
+    for x in (0, crop_w - 1):
+        for y in (0, crop_h - 1):
+            if c.mirror:
+                x1, y1 = -x + 0.5 * crop_w, y - 0.5 * crop_h
+            else:
+                x1, y1 = x - 0.5 * crop_w, y - 0.5 * crop_h
+            x2 = math.cos(c.angle) * x1 - math.sin(c.angle) * y1
+            y2 = math.sin(c.angle) * x1 + math.cos(c.angle) * y1
+            x2 += c.dx * crop_w
+            y2 += c.dy * crop_h
+            x2 /= c.zoom_x
+            y2 /= c.zoom_y
+            x2 += 0.5 * src_w
+            y2 += 0.5 * src_h
+            if math.floor(x2) < 0 or math.floor(x2) > src_w - 2:
+                return False
+            if math.floor(y2) < 0 or math.floor(y2) > src_h - 2:
+                return False
+    return True
+
+
+def sample_valid_spatial_coeffs(
+    spec: SpatialAugSpec,
+    rng: np.random.Generator,
+    *,
+    crop_w: int,
+    crop_h: int,
+    src_w: int,
+    src_h: int,
+    discount: float = 1.0,
+    base: Optional[SpatialCoeffs] = None,
+    max_tries: int = 50,
+) -> SpatialCoeffs:
+    """Rejection-sample coeffs whose crop stays in-bounds
+    (generate_valid_spatial_coeffs, augmentation_layer_base.cpp:101-169).
+    ``base`` adds incoming coeffs (the img2-relative-to-img1 mode)."""
+    base_arr = base or SpatialCoeffs()
+    for _ in range(max_tries):
+        c = spec.sample(rng, discount)
+        # additive composition in coefficient space, like coeff arrays
+        c = SpatialCoeffs(
+            mirror=float(bool(c.mirror) != bool(base_arr.mirror)),
+            dx=c.dx + base_arr.dx,
+            dy=c.dy + base_arr.dy,
+            angle=c.angle + base_arr.angle,
+            zoom_x=c.zoom_x * base_arr.zoom_x,
+            zoom_y=c.zoom_y * base_arr.zoom_y,
+        )
+        if crop_fits(c, crop_w, crop_h, src_w, src_h):
+            return c
+    return base_arr
+
+
+# ---------------------------------------------------------------------------
+# Chromatic / effect coefficients
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class ChromaticCoeffs:
+    gamma: float = 1.0
+    brightness: float = 0.0
+    contrast: float = 1.0
+    color: tuple[float, float, float] = (1.0, 1.0, 1.0)
+
+
+@dataclass(frozen=True)
+class ChromaticAugSpec:
+    gamma: Optional[RandomSpec] = None
+    brightness: Optional[RandomSpec] = None
+    contrast: Optional[RandomSpec] = None
+    color: Optional[RandomSpec] = None
+
+    def any(self) -> bool:
+        return any(getattr(self, f) is not None for f in ("gamma", "brightness", "contrast", "color"))
+
+    def sample(self, rng: np.random.Generator, discount: float = 1.0) -> ChromaticCoeffs:
+        c = ChromaticCoeffs()
+        if self.gamma is not None:
+            c.gamma = self.gamma.sample(rng, discount)
+        if self.brightness is not None:
+            c.brightness = self.brightness.sample(rng, discount)
+        if self.contrast is not None:
+            c.contrast = self.contrast.sample(rng, discount)
+        if self.color is not None:
+            c.color = tuple(self.color.sample(rng, discount) for _ in range(3))
+        return c
+
+
+@dataclass(frozen=True)
+class EffectAugSpec:
+    noise: Optional[RandomSpec] = None
+
+    def sample_noise_std(self, rng: np.random.Generator, discount: float = 1.0) -> float:
+        return self.noise.sample(rng, discount) if self.noise is not None else 0.0
+
+
+# ---------------------------------------------------------------------------
+# Device-side application (batched, jit-compiled)
+# ---------------------------------------------------------------------------
+
+
+def apply_spatial_transform(
+    images: jnp.ndarray, matrices: jnp.ndarray, out_h: int, out_w: int
+) -> jnp.ndarray:
+    """Inverse-warp bilinear crop (SpatialAugmentation kernel,
+    data_augmentation_layer.cu:25-70).
+
+    images: (N, H, W, C); matrices: (N, 6) crop→source affine;
+    returns (N, out_h, out_w, C). Source samples clamp to borders.
+    """
+    n, h, w, c = images.shape
+    xs = jax.lax.broadcasted_iota(jnp.float32, (out_h, out_w), 1)
+    ys = jax.lax.broadcasted_iota(jnp.float32, (out_h, out_w), 0)
+    t = matrices.astype(jnp.float32)  # (N, 6)
+    xpos = t[:, None, None, 0] * xs + t[:, None, None, 2] * ys + t[:, None, None, 4]
+    ypos = t[:, None, None, 1] * xs + t[:, None, None, 3] * ys + t[:, None, None, 5]
+    xpos = jnp.clip(xpos, 0.0, w - 1.05)  # cu:46-47 clamps into the source
+    ypos = jnp.clip(ypos, 0.0, h - 1.05)
+
+    x0 = jnp.floor(xpos).astype(jnp.int32)
+    y0 = jnp.floor(ypos).astype(jnp.int32)
+    x1 = jnp.minimum(x0 + 1, w - 1)
+    y1 = jnp.minimum(y0 + 1, h - 1)
+    ax = (xpos - x0)[..., None]
+    ay = (ypos - y0)[..., None]
+
+    flat = images.reshape(n, h * w, c)
+
+    def tap(iy, ix):
+        idx = (iy * w + ix).reshape(n, out_h * out_w)
+        return jnp.take_along_axis(flat, idx[..., None], axis=1).reshape(n, out_h, out_w, c)
+
+    tl, tr = tap(y0, x0), tap(y0, x1)
+    bl, br = tap(y1, x0), tap(y1, x1)
+    return (
+        (1 - ax) * (1 - ay) * tl
+        + ax * (1 - ay) * tr
+        + (1 - ax) * ay * bl
+        + ax * ay * br
+    )
+
+
+def apply_chromatic_transform(
+    images: jnp.ndarray,
+    gamma: jnp.ndarray,
+    brightness: jnp.ndarray,
+    contrast: jnp.ndarray,
+    color: jnp.ndarray,
+    *,
+    max_multiplier: float = 1.0,
+) -> jnp.ndarray:
+    """ColorContrastAugmentation (data_augmentation_layer.cu:73-117).
+
+    Per pixel (images scaled to [0,1]): apply per-channel color scaling,
+    compute luminance-preserving contrast/brightness around the pixel mean,
+    then gamma. Inputs per item: gamma/brightness/contrast (N,), color (N,3).
+    """
+    x = images.astype(jnp.float32)
+    g = gamma[:, None, None, None]
+    b = brightness[:, None, None, None]
+    ct = contrast[:, None, None, None]
+    col = color[:, None, None, :]
+
+    # color & clamp
+    x = jnp.clip(x * col, 0.0, max_multiplier)
+    # brightness/contrast around the per-pixel channel mean
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    x = jnp.clip((x - mean) * ct + mean + b, 0.0, max_multiplier)
+    # gamma
+    x = jnp.clip(x, 0.0, max_multiplier) ** g
+    return x.astype(images.dtype)
+
+
+def apply_gaussian_noise(
+    images: jnp.ndarray, noise_std: jnp.ndarray, key: jax.Array, *, max_multiplier: float = 1.0
+) -> jnp.ndarray:
+    """Additive gaussian noise (data_augmentation_layer.cu:579-586 via
+    cuRAND; here jax.random.normal threaded through the train step)."""
+    noise = jax.random.normal(key, images.shape, jnp.float32)
+    out = images.astype(jnp.float32) + noise * noise_std[:, None, None, None]
+    return jnp.clip(out, 0.0, max_multiplier).astype(images.dtype)
+
+
+def apply_flow_augmentation(
+    flows: jnp.ndarray,
+    inv_mat1: jnp.ndarray,
+    mat2: jnp.ndarray,
+    out_h: int,
+    out_w: int,
+) -> jnp.ndarray:
+    """Transform GT flow consistently with both image transforms
+    (flow_augmentation_layer.cu:24-89).
+
+    For each target pixel p: s = A1⁻¹·p (source position via img1's inverse),
+    f = nearest-sample(flow, s), target2 = A2·(s + f) in img2's crop frame,
+    new flow = target2 - p. flows: (N, H, W, 2) source-resolution GT;
+    inv_mat1: (N, 6) source→crop1... note: the reference passes img1's
+    crop→source matrix and applies it directly to target coords (its
+    matrices already map crop→source), then img2's source→crop (inverse)
+    matrix; arguments here follow that convention: ``inv_mat1`` maps crop
+    pixel → source pixel, ``mat2`` maps source pixel → crop2 pixel.
+    """
+    n, h, w, _ = flows.shape
+    xs = jax.lax.broadcasted_iota(jnp.float32, (out_h, out_w), 1)
+    ys = jax.lax.broadcasted_iota(jnp.float32, (out_h, out_w), 0)
+
+    t1 = inv_mat1.astype(jnp.float32)
+    xsrc = t1[:, None, None, 0] * xs + t1[:, None, None, 2] * ys + t1[:, None, None, 4]
+    ysrc = t1[:, None, None, 1] * xs + t1[:, None, None, 3] * ys + t1[:, None, None, 5]
+
+    # nearest-sample the source flow (cu:52-58)
+    xi = jnp.clip(jnp.round(xsrc).astype(jnp.int32), 0, w - 1)
+    yi = jnp.clip(jnp.round(ysrc).astype(jnp.int32), 0, h - 1)
+    flat = flows.reshape(n, h * w, 2)
+    idx = (yi * w + xi).reshape(n, out_h * out_w)
+    f = jnp.take_along_axis(flat, idx[..., None], axis=1).reshape(n, out_h, out_w, 2)
+
+    x2 = xsrc + f[..., 0]
+    y2 = ysrc + f[..., 1]
+    t2 = mat2.astype(jnp.float32)
+    xt2 = t2[:, None, None, 0] * x2 + t2[:, None, None, 2] * y2 + t2[:, None, None, 4]
+    yt2 = t2[:, None, None, 1] * x2 + t2[:, None, None, 3] * y2 + t2[:, None, None, 5]
+
+    return jnp.stack([xt2 - xs, yt2 - ys], axis=-1)
+
+
+def apply_black_augmentation(
+    images: jnp.ndarray,
+    flows: jnp.ndarray,
+    black_mask: jnp.ndarray,
+    border_frac: jnp.ndarray,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """BlackAugmentation (black_augmentation_layer.cu:14-60): zero whole
+    image+flow pairs, or zero a border band of ``border_frac`` of the size.
+
+    black_mask: (N,) {0,1}; border_frac: (N,) in [0, 0.5).
+    """
+    n, h, w, _ = images.shape
+    keep = (1.0 - black_mask)[:, None, None, None]
+    xs = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)[None]
+    ys = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)[None]
+    bw = border_frac[:, None, None] * w
+    bh = border_frac[:, None, None] * h
+    inside = (
+        (xs >= bw) & (xs < w - bw) & (ys >= bh) & (ys < h - bh)
+    ).astype(jnp.float32)[..., None]
+    mask = keep * inside
+    return images * mask, flows * mask

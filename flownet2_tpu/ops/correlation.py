@@ -156,6 +156,85 @@ def correlation(
     return (out / norm).astype(f1.dtype)
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=None)
+def _make_fast_correlation(max_displacement: int, stride2: int):
+    """Pallas forward + reference-derived backward for the FlowNet config."""
+    from flownet2_tpu.ops.pallas.correlation import correlation_pallas
+
+    ref = partial(
+        correlation,
+        max_displacement=max_displacement,
+        kernel_size=1,
+        stride1=1,
+        stride2=stride2,
+        pad=max_displacement,
+    )
+
+    @jax.custom_vjp
+    def fast(f1, f2):
+        return correlation_pallas(
+            f1, f2, max_displacement=max_displacement, stride2=stride2
+        )
+
+    def fwd(f1, f2):
+        return fast(f1, f2), (f1, f2)
+
+    def bwd(res, g):
+        f1, f2 = res
+        # Backward = transpose of the (linear-in-each-input) forward; derived
+        # from the XLA reference implementation. The reference's inverted
+        # displacement-range kernels (correlation_layer.cu:118-249) are this
+        # transpose hand-written.
+        _, vjp = jax.vjp(ref, f1, f2)
+        return vjp(g)
+
+    fast.defvjp(fwd, bwd)
+    return fast
+
+
+def correlation_auto(
+    f1: jnp.ndarray,
+    f2: jnp.ndarray,
+    *,
+    max_displacement: int,
+    kernel_size: int = 1,
+    stride1: int = 1,
+    stride2: int = 1,
+    pad: int = 0,
+    multiply: bool = True,
+    do_abs: bool = False,
+) -> jnp.ndarray:
+    """Dispatch to the fused Pallas kernel when the config and backend allow,
+    else the XLA reference path."""
+    import os
+
+    use_pallas = (
+        multiply
+        and kernel_size == 1
+        and stride1 == 1
+        and pad == max_displacement
+        and jax.default_backend() != "cpu"
+        # opt-in until the Mosaic kernel beats the XLA scan formulation
+        and os.environ.get("FLOWNET2_TPU_PALLAS_CORR", "0") == "1"
+    )
+    if use_pallas:
+        return _make_fast_correlation(max_displacement, stride2)(f1, f2)
+    return correlation(
+        f1,
+        f2,
+        max_displacement=max_displacement,
+        kernel_size=kernel_size,
+        stride1=stride1,
+        stride2=stride2,
+        pad=pad,
+        multiply=multiply,
+        do_abs=do_abs,
+    )
+
+
 @partial(
     jax.jit,
     static_argnames=(

@@ -1,0 +1,134 @@
+"""Fused Pallas TPU kernel for the 2-D correlation cost volume.
+
+Replaces the reference's shared-memory CUDA kernel (correlation_layer.cu:
+46-114) — shared-memory patch caching maps to VMEM-resident tiles here. The
+kernel handles the geometry class the FlowNet family uses: kernel_size=1,
+stride1=1, pad == max_displacement (output resolution == input resolution);
+``flownet2_tpu.ops.correlation.correlation`` remains the general/reference
+path and the autodiff rule.
+
+Layout: one grid step per (batch, h-tile). The f1 tile streams in via the
+standard block pipeline; the padded f2 halo window (TH + 2·md rows) is
+DMA'd from HBM into VMEM scratch explicitly because it overlaps between
+adjacent h-tiles (BlockSpec windows cannot overlap). The displacement loops
+are fully unrolled: per (dy, dx), a shifted VMEM slice of f2 is multiplied
+with the f1 tile and channel-reduced on the VPU with f32 accumulation —
+441 fused multiply-reduce sweeps per tile.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _corr_kernel(
+    f1_ref,  # (1, TH, W, C) VMEM
+    f2p_hbm,  # (B, H + 2md, W + 2md, C) HBM/ANY
+    out_ref,  # (1, TH, W, gw*gw) VMEM
+    f2_scratch,  # (TH + 2md, W + 2md, C) VMEM
+    dma_sem,
+    *,
+    md: int,
+    stride2: int,
+    th: int,
+    width: int,
+    channels: int,
+):
+    b = pl.program_id(0)
+    ht = pl.program_id(1)
+    gw = 2 * (md // stride2) + 1
+
+    # Halo window: rows [ht*TH, ht*TH + TH + 2md) of padded f2.
+    copy = pltpu.make_async_copy(
+        f2p_hbm.at[b, pl.ds(ht * th, th + 2 * md)],
+        f2_scratch,
+        dma_sem,
+    )
+    copy.start()
+
+    f1 = f1_ref[0].astype(jnp.float32)  # (TH, W, C)
+    copy.wait()
+
+    for p in range(gw):
+        cols = []
+        for o in range(gw):
+            sh = f2_scratch[
+                pl.ds(p * stride2, th), pl.ds(o * stride2, width), :
+            ].astype(jnp.float32)
+            cols.append(jnp.sum(f1 * sh, axis=-1))  # (TH, W)
+        block = jnp.stack(cols, axis=-1)  # (TH, W, gw)
+        out_ref[0, :, :, p * gw : (p + 1) * gw] = (block / channels).astype(
+            out_ref.dtype
+        )
+
+
+@partial(jax.jit, static_argnames=("max_displacement", "stride2", "interpret"))
+def correlation_pallas(
+    f1: jnp.ndarray,
+    f2: jnp.ndarray,
+    *,
+    max_displacement: int = 20,
+    stride2: int = 2,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """FlowNet-class correlation: kernel=1, stride1=1, pad=max_displacement.
+
+    f1/f2: (B, H, W, C) → (B, H, W, gw²) with gw = 2*(md//stride2)+1.
+    """
+    b, h, w, c = f1.shape
+    md = max_displacement
+    gr = md // stride2
+    gw = 2 * gr + 1
+
+    f2p = jnp.pad(f2, ((0, 0), (md, md), (md, md), (0, 0)))
+
+    # Pick an h-tile that divides H and keeps scratch + blocks within ~10MB.
+    bytes_per = f2.dtype.itemsize
+
+    def vmem_use(th_):
+        scratch = (th_ + 2 * md) * (w + 2 * md) * c * bytes_per
+        f1_blk = th_ * w * c * bytes_per
+        out_blk = th_ * w * gw * gw * f1.dtype.itemsize
+        return 2 * (f1_blk + out_blk) + scratch  # blocks double-buffered
+
+    th = h
+    while th > 8 and vmem_use(th) > 10 * 1024 * 1024:
+        # shrink to the next divisor of h
+        th_new = th // 2
+        while h % th_new:
+            th_new -= 1
+        th = th_new
+    if vmem_use(th) > 14 * 1024 * 1024:
+        raise ValueError(
+            f"correlation_pallas: no feasible tiling for shape {f1.shape}"
+        )
+
+    grid = (b, h // th)
+    kernel = partial(
+        _corr_kernel, md=md, stride2=stride2, th=th, width=w, channels=c
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, th, w, c), lambda bi, hi: (bi, hi, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, th, w, gw * gw), lambda bi, hi: (bi, hi, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, h, w, gw * gw), f1.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((th + 2 * md, w + 2 * md, c), f2.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(f1, f2p)
