@@ -96,6 +96,15 @@ class FlowRecordReader:
         self._f.seek(int(self._offsets[i]))
         (length,) = struct.unpack("<Q", self._f.read(8))
         body = self._f.read(length)
+        # native fast path (cpp/flowdata.cc); numpy fallback below
+        from flownet2_tpu.data import native
+
+        try:
+            decoded = native.decode_record(body)
+        except ValueError as e:
+            raise ValueError(f"{self.path}[{i}]: {e}") from None
+        if decoded is not None:
+            return decoded
         h, w, flags = struct.unpack_from("<III", body, 0)
         off = 12
         n_img = h * w * 3
