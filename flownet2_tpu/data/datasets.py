@@ -143,10 +143,67 @@ def FlyingThings3D(root: str, split: str = "TRAIN", direction: str = "into_futur
     return FlowPairDataset(samples)
 
 
+def Sintel(root: str, split: str = "training", render: str = "clean") -> FlowPairDataset:
+    """MPI-Sintel layout: <split>/<render>/<scene>/frame_NNNN.png with GT at
+    <split>/flow/<scene>/frame_NNNN.flo (the benchmark the reference's
+    Sintel-finetuned models target, models/download-models.sh)."""
+    img_root = os.path.join(root, split, render)
+    flow_root = os.path.join(root, split, "flow")
+    samples = []
+    for fp in sorted(globmod.glob(os.path.join(flow_root, "*", "frame_*.flo"))):
+        scene = os.path.basename(os.path.dirname(fp))
+        num = int(os.path.basename(fp)[6:10])
+        img0 = os.path.join(img_root, scene, f"frame_{num:04d}.png")
+        img1 = os.path.join(img_root, scene, f"frame_{num + 1:04d}.png")
+        if os.path.exists(img0) and os.path.exists(img1):
+            samples.append(FlowSample(img0, img1, fp))
+    return FlowPairDataset(samples)
+
+
+def KITTI(root: str, split: str = "training", occluded: bool = True) -> FlowPairDataset:
+    """KITTI 2015 flow layout: <split>/image_2/NNNNNN_1{0,1}.png with GT
+    <split>/flow_{occ,noc}/NNNNNN_10.png (16-bit PNG flow encoding:
+    (value-2^15)/64, valid mask in the 3rd channel)."""
+    sub = "flow_occ" if occluded else "flow_noc"
+    img_root = os.path.join(root, split, "image_2")
+    samples = []
+    for fp in sorted(globmod.glob(os.path.join(root, split, sub, "*_10.png"))):
+        key = os.path.basename(fp)[:6]
+        img0 = os.path.join(img_root, f"{key}_10.png")
+        img1 = os.path.join(img_root, f"{key}_11.png")
+        if os.path.exists(img0) and os.path.exists(img1):
+            samples.append(KittiSample(img0, img1, fp))
+    return FlowPairDataset(samples)
+
+
+@dataclass(frozen=True)
+class KittiSample(FlowSample):
+    """KITTI GT flow is a 16-bit PNG: u,v = (png[...,0:2]-2^15)/64, invalid
+    pixels (png[...,2]==0) → NaN (matching the reference's NaN-invalid
+    convention end to end)."""
+
+    def load(self) -> dict:
+        from PIL import Image
+
+        img0 = read_image(self.img0_path)
+        img1 = read_image(self.img1_path)
+        png = np.asarray(Image.open(self.flow_path))  # (H, W, 3) uint16
+        flow = (png[..., :2].astype(np.float32) - 2**15) / 64.0
+        invalid = png[..., 2] == 0
+        flow[invalid] = np.nan
+        return {
+            "img0": img0.astype(np.float32),
+            "img1": img1.astype(np.float32),
+            "flow": flow,
+        }
+
+
 _FACTORIES = {
     "flyingchairs": FlyingChairs,
     "chairssdhom": ChairsSDHom,
     "flyingthings3d": FlyingThings3D,
+    "sintel": Sintel,
+    "kitti": KITTI,
 }
 
 
