@@ -30,7 +30,8 @@ from jax.experimental.pallas import tpu as pltpu
 def _corr_kernel(
     f1_ref,  # (1, TH, W, C) VMEM
     f2p_hbm,  # (B, H + 2md, W + 2md, C) HBM/ANY
-    out_ref,  # (1, TH, W, gw*gw) VMEM
+    out_ref,  # (1, gw*gw, TH, W) VMEM — displacement-major so the inner
+    #            loop's store index lands on a leading dim, not the lanes
     f2_scratch,  # (TH + 2md, W + 2md, C) VMEM
     dma_sem,
     *,
@@ -42,7 +43,8 @@ def _corr_kernel(
 ):
     b = pl.program_id(0)
     ht = pl.program_id(1)
-    gw = 2 * (md // stride2) + 1
+    gr = md // stride2
+    gw = 2 * gr + 1
 
     # Halo window: rows [ht*TH, ht*TH + TH + 2md) of padded f2.
     copy = pltpu.make_async_copy(
@@ -55,17 +57,20 @@ def _corr_kernel(
     f1 = f1_ref[0].astype(jnp.float32)  # (TH, W, C)
     copy.wait()
 
-    for p in range(gw):
-        cols = []
-        for o in range(gw):
-            sh = f2_scratch[
-                pl.ds(p * stride2, th), pl.ds(o * stride2, width), :
-            ].astype(jnp.float32)
-            cols.append(jnp.sum(f1 * sh, axis=-1))  # (TH, W)
-        block = jnp.stack(cols, axis=-1)  # (TH, W, gw)
-        out_ref[0, :, :, p * gw : (p + 1) * gw] = (block / channels).astype(
-            out_ref.dtype
-        )
+    inv_norm = 1.0 / channels
+
+    def body(d, _):
+        # d = p*gw + o → row offset p*stride2, col offset o*stride2
+        p = d // gw
+        o = d - p * gw
+        sh = f2_scratch[
+            pl.ds(p * stride2, th), pl.ds(o * stride2, width), :
+        ].astype(jnp.float32)
+        q = jnp.sum(f1 * sh, axis=-1) * inv_norm  # (TH, W)
+        out_ref[0, d] = q.astype(out_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, gw * gw, body, 0)
 
 
 @partial(jax.jit, static_argnames=("max_displacement", "stride2", "interpret"))
@@ -113,22 +118,24 @@ def correlation_pallas(
     kernel = partial(
         _corr_kernel, md=md, stride2=stride2, th=th, width=w, channels=c
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec(
                 (1, th, w, c), lambda bi, hi: (bi, hi, 0, 0), memory_space=pltpu.VMEM
             ),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(
-            (1, th, w, gw * gw), lambda bi, hi: (bi, hi, 0, 0), memory_space=pltpu.VMEM
+            (1, gw * gw, th, w), lambda bi, hi: (bi, 0, hi, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((b, h, w, gw * gw), f1.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, gw * gw, h, w), f1.dtype),
         scratch_shapes=[
             pltpu.VMEM((th + 2 * md, w + 2 * md, c), f2.dtype),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
     )(f1, f2p)
+    # displacement-major → NHWC for the consuming convs
+    return jnp.transpose(out, (0, 2, 3, 1))
