@@ -40,10 +40,16 @@ RGB_MAX = 255.0
 
 
 def normalize_images(img0: jnp.ndarray, img1: jnp.ndarray):
-    """Per-sample per-channel mean (over both frames) subtraction + /255."""
+    """Per-sample per-channel mean (over both frames) subtraction + /255.
+
+    Statistics accumulate in f32; outputs keep the input dtype so a bf16
+    cascade stays bf16 end to end (the warp/correlation fast paths key off
+    the activation dtype).
+    """
+    dtype = img0.dtype
     both = jnp.stack([img0, img1], axis=1).astype(jnp.float32)  # (N,2,H,W,3)
     mean = jnp.mean(both, axis=(1, 2, 3), keepdims=True)  # (N,1,1,1,3)
-    both = (both - mean) / RGB_MAX
+    both = ((both - mean) / RGB_MAX).astype(dtype)
     return both[:, 0], both[:, 1]
 
 

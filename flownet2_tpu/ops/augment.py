@@ -466,3 +466,206 @@ def apply_black_augmentation(
     ).astype(jnp.float32)[..., None]
     mask = keep * inside
     return images * mask, flows * mask
+
+
+# ---------------------------------------------------------------------------
+# Chromatic-eigen augmentation (the reference's eigenspace pow/add/mult on
+# luminance / saturation / color axes; ComputeChromaticEigenspace +
+# ChromaticEigenAugmentation, data_augmentation_layer.cu:119-290, stats
+# finalized at :495-535).
+# ---------------------------------------------------------------------------
+
+# Default RGB eigenvectors of natural-image statistics (rows = eigenvectors;
+# the released FlowNet2 training templates pass these via chromatic_eigvec).
+DEFAULT_CHROMATIC_EIGVEC = np.asarray(
+    [
+        [0.51, 0.56, 0.65],
+        [0.79, 0.01, -0.62],
+        [0.35, -0.83, 0.44],
+    ],
+    np.float32,
+)
+
+
+@dataclass
+class ChromaticEigenCoeffs:
+    """Per-item coefficients (AugmentationCoeff eigen fields). Defaults are
+    the identity transform."""
+
+    pow_nomean: tuple[float, float, float] = (1.0, 1.0, 1.0)
+    add_nomean: tuple[float, float, float] = (0.0, 0.0, 0.0)
+    mult_nomean: tuple[float, float, float] = (1.0, 1.0, 1.0)
+    pow_withmean: tuple[float, float, float] = (1.0, 1.0, 1.0)
+    add_withmean: tuple[float, float, float] = (0.0, 0.0, 0.0)
+    mult_withmean: tuple[float, float, float] = (1.0, 1.0, 1.0)
+    lmult_pow: float = 1.0
+    lmult_add: float = 0.0
+    lmult_mult: float = 1.0
+    col_angle: float = 0.0
+
+
+@dataclass(frozen=True)
+class ChromaticEigenAugSpec:
+    """Sampling spec; field mapping per generate_chromatic_eigen_coeffs
+    (augmentation_layer_base.cpp:264-312): ladd_* drive the nomean[0] and
+    (pow only, via defaults) withmean[0] channel, col_* drive nomean[1,2],
+    sat_* drive withmean[1,2], lmult_* the final luminance path."""
+
+    ladd_pow: Optional[RandomSpec] = None
+    ladd_add: Optional[RandomSpec] = None
+    ladd_mult: Optional[RandomSpec] = None
+    col_pow: Optional[RandomSpec] = None
+    col_add: Optional[RandomSpec] = None
+    col_mult: Optional[RandomSpec] = None
+    sat_pow: Optional[RandomSpec] = None
+    sat_add: Optional[RandomSpec] = None
+    sat_mult: Optional[RandomSpec] = None
+    lmult_pow: Optional[RandomSpec] = None
+    lmult_add: Optional[RandomSpec] = None
+    lmult_mult: Optional[RandomSpec] = None
+    col_rotate: Optional[RandomSpec] = None
+
+    def any(self) -> bool:
+        return any(
+            getattr(self, n) is not None
+            for n in (
+                "ladd_pow", "ladd_add", "ladd_mult", "col_pow", "col_add",
+                "col_mult", "sat_pow", "sat_add", "sat_mult", "lmult_pow",
+                "lmult_add", "lmult_mult", "col_rotate",
+            )
+        )
+
+    def sample(self, rng: np.random.Generator, discount: float = 1.0) -> ChromaticEigenCoeffs:
+        c = ChromaticEigenCoeffs()
+
+        def s(spec):
+            return spec.sample(rng, discount)
+
+        pn = list(c.pow_nomean); an = list(c.add_nomean); mn = list(c.mult_nomean)
+        pw = list(c.pow_withmean); aw = list(c.add_withmean); mw = list(c.mult_withmean)
+        if self.ladd_pow is not None:
+            pn[0] = s(self.ladd_pow)
+        if self.col_pow is not None:
+            pn[1] = s(self.col_pow)
+            pn[2] = s(self.col_pow)
+        if self.ladd_add is not None:
+            an[0] = s(self.ladd_add)
+        if self.col_add is not None:
+            an[1] = s(self.col_add)
+            an[2] = s(self.col_add)
+        if self.ladd_mult is not None:
+            mn[0] = s(self.ladd_mult)
+        if self.col_mult is not None:
+            mn[1] = s(self.col_mult)
+            mn[2] = s(self.col_mult)
+        if self.sat_pow is not None:
+            pw[1] = pw[2] = s(self.sat_pow)
+        if self.sat_add is not None:
+            aw[1] = aw[2] = s(self.sat_add)
+        if self.sat_mult is not None:
+            mw[1] = mw[2] = s(self.sat_mult)
+        c.pow_nomean = tuple(pn); c.add_nomean = tuple(an); c.mult_nomean = tuple(mn)
+        c.pow_withmean = tuple(pw); c.add_withmean = tuple(aw); c.mult_withmean = tuple(mw)
+        if self.lmult_pow is not None:
+            c.lmult_pow = s(self.lmult_pow)
+        if self.lmult_add is not None:
+            c.lmult_add = s(self.lmult_add)
+        if self.lmult_mult is not None:
+            c.lmult_mult = s(self.lmult_mult)
+        if self.col_rotate is not None:
+            c.col_angle = s(self.col_rotate)
+        return c
+
+
+def _signed_pow(x, p):
+    return jnp.sign(x) * jnp.abs(x) ** p
+
+
+def apply_chromatic_eigen_transform(
+    images: jnp.ndarray,
+    coeffs: dict[str, jnp.ndarray],
+    *,
+    eigvec: np.ndarray = DEFAULT_CHROMATIC_EIGVEC,
+    max_multiplier: float = 1.0,
+) -> jnp.ndarray:
+    """Batched eigen-space chromatic transform.
+
+    images: (N, H, W, 3) in [0, max_multiplier]. ``coeffs`` arrays (stacked
+    per item): pow_nomean/add_nomean/mult_nomean/pow_withmean/add_withmean/
+    mult_withmean (N,3), lmult_pow/lmult_add/lmult_mult/col_angle (N,).
+    Statistics (mean_rgb, max_abs_eig, max_l) are computed over the whole
+    batch, matching the reference's single shared eigenspace struct.
+    """
+    x = images.astype(jnp.float32)
+    ev = jnp.asarray(eigvec)  # (3 eig, 3 rgb)
+
+    eig_all = jnp.einsum("er,nhwr->nhwe", ev, x)
+    mean_rgb = jnp.mean(x, axis=(0, 1, 2))  # (3,)
+    max_abs_eig = jnp.max(jnp.abs(eig_all), axis=(0, 1, 2))  # (3,)
+    mean_eig = ev @ mean_rgb
+    big = max_abs_eig > 1e-2
+    mean_eig = jnp.where(big, mean_eig / jnp.where(big, max_abs_eig, 1.0), mean_eig)
+    max_l = jnp.sqrt(jnp.sum(jnp.square(max_abs_eig)))
+
+    def bcast(v):  # (N,k) -> (N,1,1,k)
+        return v[:, None, None]
+
+    rgb = x - mean_rgb
+    eig = jnp.einsum("er,nhwr->nhwe", ev, rgb)
+
+    # nomean: normalize, signed pow, add, mult (per eigen channel)
+    e_norm = eig / jnp.where(big, max_abs_eig, 1.0)
+    e_tr = _signed_pow(e_norm, bcast(coeffs["pow_nomean"]))
+    e_tr = (e_tr + bcast(coeffs["add_nomean"])) * bcast(coeffs["mult_nomean"])
+    eig = jnp.where(big, e_tr, eig)
+
+    # re-add normalized mean
+    eig = eig + mean_eig
+
+    # withmean channel 0 (luminance axis)
+    e0 = _signed_pow(eig[..., 0], coeffs["pow_withmean"][:, None, None, 0])
+    e0 = (e0 + coeffs["add_withmean"][:, None, None, 0]) * coeffs["mult_withmean"][
+        :, None, None, 0
+    ]
+    eig = jnp.where(big[0], eig.at[..., 0].set(e0), eig)
+
+    # saturation path on channels 1,2
+    s = jnp.sqrt(jnp.square(eig[..., 1]) + jnp.square(eig[..., 2]))
+    s_big = s > 1e-2
+    s1 = s ** coeffs["pow_withmean"][:, None, None, 1]
+    s1 = jnp.maximum(s1 + coeffs["add_withmean"][:, None, None, 1], 0.0)
+    s1 = s1 * coeffs["mult_withmean"][:, None, None, 1]
+    s1 = jnp.where(s_big, s1, s)
+
+    # color rotation in the (1,2) plane
+    ang = coeffs["col_angle"][:, None, None]
+    c1 = jnp.cos(ang) * eig[..., 1] - jnp.sin(ang) * eig[..., 2]
+    c2 = jnp.sin(ang) * eig[..., 1] + jnp.cos(ang) * eig[..., 2]
+    eig = jnp.stack([eig[..., 0], c1, c2], axis=-1)
+
+    # un-normalize
+    eig = eig * jnp.where(big, max_abs_eig, 1.0)
+
+    l_big = max_l > 1e-2
+    l1_pre = jnp.sqrt(jnp.sum(jnp.square(eig), axis=-1)) / jnp.where(l_big, max_l, 1.0)
+
+    # apply saturation rescale
+    s_safe = jnp.where(s_big, s, 1.0)
+    eig = eig.at[..., 1].set(jnp.where(s_big, eig[..., 1] / s_safe * s1, eig[..., 1]))
+    eig = eig.at[..., 2].set(jnp.where(s_big, eig[..., 2] / s_safe * s1, eig[..., 2]))
+
+    # luminance rescale
+    l = jnp.sqrt(jnp.sum(jnp.square(eig), axis=-1))
+    l1 = l1_pre ** coeffs["lmult_pow"][:, None, None]
+    l1 = jnp.maximum(l1 + coeffs["lmult_add"][:, None, None], 0.0)
+    l1 = l1 * coeffs["lmult_mult"][:, None, None] * max_l
+    l_px_big = l > 1e-2
+    scale = jnp.where(l_px_big & l_big, l1 / jnp.where(l_px_big, l, 1.0), 1.0)
+    eig_scaled = eig * scale[..., None]
+    eig_scaled = jnp.minimum(eig_scaled, max_abs_eig)
+    eig = jnp.where(l_big, eig_scaled, eig)
+
+    # reconstruction: rgb[c] = Σ_e eigvec[e,c] · eig[e] (cu:285-288)
+    out = jnp.einsum("ec,nhwe->nhwc", ev, eig)
+    out = jnp.clip(out, 0.0, max_multiplier)
+    return out.astype(images.dtype)

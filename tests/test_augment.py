@@ -207,3 +207,62 @@ class TestPipeline:
         assert np.all(np.isfinite(np.asarray(out["flow"])))
         assert 0.0 <= float(jnp.min(out["img0"]))
         assert float(jnp.max(out["img0"])) <= 255.0
+
+
+class TestChromaticEigen:
+    def test_identity_coeffs(self, rng):
+        from flownet2_tpu.ops.augment import apply_chromatic_eigen_transform
+
+        n = 2
+        imgs = jnp.asarray(rng.uniform(0, 1, (n, 8, 8, 3)).astype(np.float32))
+        coeffs = {
+            "pow_nomean": np.ones((n, 3), np.float32),
+            "add_nomean": np.zeros((n, 3), np.float32),
+            "mult_nomean": np.ones((n, 3), np.float32),
+            "pow_withmean": np.ones((n, 3), np.float32),
+            "add_withmean": np.zeros((n, 3), np.float32),
+            "mult_withmean": np.ones((n, 3), np.float32),
+            "lmult_pow": np.ones((n,), np.float32),
+            "lmult_add": np.zeros((n,), np.float32),
+            "lmult_mult": np.ones((n,), np.float32),
+            "col_angle": np.zeros((n,), np.float32),
+        }
+        out = apply_chromatic_eigen_transform(imgs, {k: jnp.asarray(v) for k, v in coeffs.items()})
+        # identity coefficients reproduce the input up to ~1%: the published
+        # chromatic_eigvec values are rounded to 2 decimals, so the
+        # eigvec^T·eigvec roundtrip is only approximately orthonormal —
+        # the reference kernel has the identical property.
+        np.testing.assert_allclose(np.asarray(out), np.asarray(imgs), atol=2e-2)
+
+    def test_sampler_mapping(self, rng):
+        from flownet2_tpu.ops.augment import ChromaticEigenAugSpec, RandomSpec
+
+        spec = ChromaticEigenAugSpec(
+            sat_pow=RandomSpec("uniform", mean=2.0, spread=0.0),
+            col_rotate=RandomSpec("uniform", mean=0.5, spread=0.0),
+            ladd_add=RandomSpec("uniform", mean=0.1, spread=0.0),
+        )
+        c = spec.sample(rng)
+        assert c.pow_withmean == (1.0, 2.0, 2.0)  # sat drives channels 1,2
+        assert c.add_nomean == (0.1, 0.0, 0.0)  # ladd drives channel 0
+        assert c.col_angle == 0.5
+
+    def test_brightness_changes_output(self, rng):
+        from flownet2_tpu.ops.augment import apply_chromatic_eigen_transform
+
+        n = 1
+        imgs = jnp.asarray(rng.uniform(0.2, 0.8, (n, 8, 8, 3)).astype(np.float32))
+        coeffs = {
+            "pow_nomean": np.ones((n, 3), np.float32),
+            "add_nomean": np.zeros((n, 3), np.float32),
+            "mult_nomean": np.ones((n, 3), np.float32),
+            "pow_withmean": np.ones((n, 3), np.float32),
+            "add_withmean": np.zeros((n, 3), np.float32),
+            "mult_withmean": np.ones((n, 3), np.float32),
+            "lmult_pow": np.ones((n,), np.float32),
+            "lmult_add": np.zeros((n,), np.float32),
+            "lmult_mult": np.full((n,), 1.5, np.float32),  # brighten
+            "col_angle": np.zeros((n,), np.float32),
+        }
+        out = apply_chromatic_eigen_transform(imgs, {k: jnp.asarray(v) for k, v in coeffs.items()})
+        assert float(jnp.mean(out)) > float(jnp.mean(imgs))
