@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from typing import Callable
 
+import jax
 import jax.numpy as jnp
 
 from flownet2_tpu.models import (
@@ -58,8 +59,82 @@ def flownet_sd_loss(params: dict, batch: dict) -> tuple[jnp.ndarray, dict]:
     return total, {"loss": total, **per_scale}
 
 
+def flownet_sd_chairssdhom_loss(
+    params: dict, batch: dict, episode: tuple[float, float] = (2.0, 0.5)
+) -> tuple[jnp.ndarray, dict]:
+    """The ChairsSDHom small-displacement recipe: BlackAugmentation on the
+    batch (whole-pair blackout / border zeroing, black_augmentation_layer.cu)
+    + per-scale Lpq losses with the scheduled (p, q) episode (SURVEY.md §2.2).
+
+    batch may carry ``black_mask``/``border_frac`` (N,) arrays sampled by the
+    host loader; absent, no blackening is applied.
+    """
+    from flownet2_tpu.ops.augment import apply_black_augmentation
+    from flownet2_tpu.ops.downsample import downsample_nan_aware
+    from flownet2_tpu.ops.losses import lpq_loss
+
+    img0, img1, flow = _batch_views(batch)
+    if "black_mask" in batch:
+        stackimg = jnp.concatenate([img0, img1], axis=-1)
+        stackimg, flow = apply_black_augmentation(
+            stackimg, flow, batch["black_mask"], batch["border_frac"]
+        )
+        img0, img1 = stackimg[..., :3], stackimg[..., 3:]
+    x0, x1 = normalize_images(img0, img1)
+    flows = flownet_sd_apply(params, jnp.concatenate([x0, x1], axis=-1))
+
+    p, q = episode
+    total = jnp.asarray(0.0, jnp.float32)
+    per_scale = {}
+    weights = {"flow6": 0.32, "flow5": 0.08, "flow4": 0.02, "flow3": 0.01, "flow2": 0.005}
+    for name, f in flows.items():
+        w = weights.get(name, 0.0)
+        if w == 0.0:
+            continue
+        gt = downsample_nan_aware(flow, f.shape[1], f.shape[2])
+        loss = lpq_loss(f, gt, p=p, q=q)
+        per_scale[name] = loss
+        total = total + w * loss
+    return total, {"loss": total, **per_scale}
+
+
+def make_cascade_stage_loss(stage: str) -> Callable:
+    """Training objective for a cascade refinement stage (S1/S2) with the
+    upstream nets frozen — the FlowNet2 stage-wise training recipe (paper §4;
+    the reference trains each stacked net with earlier weights fixed).
+
+    ``params`` must be the full cascade pytree; gradients flow only into
+    ``params[stage]`` (stop_gradient on the upstream flow).
+    """
+    from flownet2_tpu.models.flownet2 import DIV_FLOW, _cascade_stage
+    from flownet2_tpu.models.flownet_c import flownet_c_apply
+    from flownet2_tpu.models.flownet2 import _upsample_flow_4x
+
+    if stage not in ("flownets_1", "flownets_2"):
+        raise ValueError(f"unknown cascade stage {stage!r}")
+
+    def loss_fn(params, batch):
+        img0, img1, flow = _batch_views(batch)
+        x0, x1 = normalize_images(img0, img1)
+        stop = jax.lax.stop_gradient
+        flows_c = flownet_c_apply(stop(params["flownetc"]), x0, x1)
+        upstream = _upsample_flow_4x(flows_c["flow2"], DIV_FLOW)
+        if stage == "flownets_2":
+            f1, _ = _cascade_stage(stop(params["flownets_1"]), x0, x1, upstream)
+            upstream = f1
+        upstream = stop(upstream)
+        _, flows = _cascade_stage(params[stage], x0, x1, upstream)
+        total, per_scale = multiscale_l1_loss(flows, flow / DIV_FLOW)
+        return total, {"loss": total, **per_scale}
+
+    return loss_fn
+
+
 LOSSES: dict[str, Callable] = {
     "flownets": flownet_s_loss,
     "flownetc": flownet_c_loss,
     "flownet2-sd": flownet_sd_loss,
+    "flownet2-sd-sdhom": flownet_sd_chairssdhom_loss,
+    "flownet2-s1": make_cascade_stage_loss("flownets_1"),
+    "flownet2-s2": make_cascade_stage_loss("flownets_2"),
 }

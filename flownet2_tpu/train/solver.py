@@ -110,11 +110,21 @@ class Solver:
         test_fn: Optional[Callable[[Any], float]] = None,
         test_interval: int = 0,
         jit_step: bool = True,
+        loss_schedule: Optional[Any] = None,
     ):
+        """``loss_schedule``: an optional :class:`~flownet2_tpu.ops.losses.
+        LpqSchedule`-like object with ``.at(iteration) -> episode_key``; when
+        the episode changes, ``loss_fn(params, batch, episode=...)`` is
+        re-bound and the step re-jitted (the reference swaps the Lpq power
+        sublayers' exponents at episode boundaries, lpq_loss_layer.cu:97-140).
+        """
         self.config = config
         self.tx = make_solver(config)
-        step = make_train_step(loss_fn, self.tx, iter_size=config.iter_size)
-        self.step_fn = jax.jit(step, donate_argnums=0) if jit_step else step
+        self._loss_fn = loss_fn
+        self._loss_schedule = loss_schedule
+        self._jit_step_flag = jit_step
+        self._episode = loss_schedule.at(0) if loss_schedule else None
+        self.step_fn = self._build_step(self._episode)
         self.state = TrainState(
             params=init_params,
             opt_state=self.tx.init(init_params),
@@ -142,6 +152,18 @@ class Solver:
         if sighup != "none" and hasattr(signal, "SIGHUP"):
             signal.signal(signal.SIGHUP, handler_factory(sighup))
 
+    def _build_step(self, episode):
+        if episode is None:
+            loss = self._loss_fn
+        else:
+            base = self._loss_fn
+
+            def loss(params, batch):
+                return base(params, batch, episode=episode)
+
+        step = make_train_step(loss, self.tx, iter_size=self.config.iter_size)
+        return jax.jit(step, donate_argnums=0) if self._jit_step_flag else step
+
     @property
     def iteration(self) -> int:
         return int(self.state.iteration)
@@ -151,6 +173,11 @@ class Solver:
         return float(np.mean(self._loss_window)) if self._loss_window else float("nan")
 
     def step(self, batch) -> tuple[float, dict]:
+        if self._loss_schedule is not None:
+            episode = self._loss_schedule.at(self.iteration)
+            if episode != self._episode:
+                self._episode = episode
+                self.step_fn = self._build_step(episode)
         self.state, loss, aux = self.step_fn(self.state, batch)
         loss = float(loss)
         self._loss_window.append(loss)

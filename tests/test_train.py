@@ -216,3 +216,61 @@ class TestSolverLoop:
         solver.copy_weights_from({"w": jnp.ones((7,))})
         with pytest.raises(ValueError):
             solver.copy_weights_from({"w": jnp.ones((7,))}, strict=True)
+
+
+class TestObjectives:
+    def _batch(self, rng, n=1, h=64, w=64):
+        return {
+            "img0": jnp.asarray(rng.uniform(0, 255, (n, h, w, 3)).astype(np.float32)),
+            "img1": jnp.asarray(rng.uniform(0, 255, (n, h, w, 3)).astype(np.float32)),
+            "flow": jnp.asarray(rng.uniform(-3, 3, (n, h, w, 2)).astype(np.float32)),
+        }
+
+    def test_sdhom_objective_with_black(self, rng):
+        from flownet2_tpu.models import flownet_sd_init
+        from flownet2_tpu.train.objectives import flownet_sd_chairssdhom_loss
+
+        params = flownet_sd_init(jax.random.PRNGKey(0))
+        batch = self._batch(rng)
+        batch["black_mask"] = jnp.asarray([0.0])
+        batch["border_frac"] = jnp.asarray([0.1])
+        loss, aux = jax.jit(
+            lambda p, b: flownet_sd_chairssdhom_loss(p, b, episode=(2.0, 0.5))
+        )(params, batch)
+        assert np.isfinite(float(loss))
+
+    def test_cascade_stage_freezes_upstream(self, rng):
+        from flownet2_tpu.models import flownet2_init
+        from flownet2_tpu.train.objectives import LOSSES
+
+        params = flownet2_init(jax.random.PRNGKey(0))
+        batch = self._batch(rng, h=64, w=128)
+        loss_fn = LOSSES["flownet2-s1"]
+        grads = jax.jit(jax.grad(lambda p, b: loss_fn(p, b)[0]))(params, batch)
+        # gradient flows into the trained stage only
+        g_stage = np.abs(np.asarray(grads["flownets_1"]["conv1"]["w"])).sum()
+        g_frozen = np.abs(np.asarray(grads["flownetc"]["conv1"]["w"])).sum()
+        assert g_stage > 0
+        assert g_frozen == 0
+
+    def test_lpq_episode_rejit(self):
+        from flownet2_tpu.ops.losses import LpqSchedule
+
+        sched = LpqSchedule(start_iters=(0, 3), ps=(1.0, 2.0), qs=(1.0, 0.5))
+        episodes_seen = []
+
+        def loss_fn(params, batch, episode=(1.0, 1.0)):
+            episodes_seen.append(episode)
+            p, q = episode
+            loss = jnp.sum(jnp.abs(params["w"] - batch["t"]) ** p) ** q
+            return loss, {"loss": loss}
+
+        cfg = SolverConfig(solver_type="sgd", base_lr=0.01, momentum=0.0, max_iter=6)
+        solver = Solver(
+            cfg, loss_fn, {"w": jnp.ones((3,))}, loss_schedule=sched, display=0
+        )
+        batch = {"t": jnp.zeros((3,))}
+        for _ in range(6):
+            solver.step(batch)
+        # traced once per episode: (1,1) then (2,0.5)
+        assert (1.0, 1.0) in episodes_seen and (2.0, 0.5) in episodes_seen
