@@ -203,3 +203,23 @@ class TestFlowWarpOneHot:
         flow = jnp.asarray(rng.uniform(0.2, 0.8, (1, 6, 6, 2)).astype(np.float32))
         g = jax.grad(lambda i, f: jnp.sum(flow_warp_onehot(i, f).astype(jnp.float32)), argnums=(0, 1))(img, flow)
         assert all(np.all(np.isfinite(np.asarray(x))) for x in g)
+
+
+class TestAccum:
+    def test_max_size_concat(self, rng):
+        from flownet2_tpu.ops.accum import accum
+
+        a = jnp.asarray(rng.standard_normal((1, 4, 6, 2)).astype(np.float32))
+        b = jnp.asarray(rng.standard_normal((1, 8, 12, 3)).astype(np.float32))
+        out = accum([a, b])
+        assert out.shape == (1, 8, 12, 5)
+
+    def test_reference_and_divisible(self, rng):
+        from flownet2_tpu.ops.accum import accum
+
+        a = jnp.asarray(rng.standard_normal((1, 4, 6, 1)).astype(np.float32))
+        b = jnp.asarray(rng.standard_normal((1, 7, 9, 1)).astype(np.float32))
+        out = accum([a, b], reference=0)
+        assert out.shape == (1, 4, 6, 2)
+        out = accum([a, b], size_divisible_by=8)
+        assert out.shape == (1, 8, 16, 2)
