@@ -73,6 +73,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("out", help="output .flo filename")
     p.add_argument("--gpu", type=int, default=0, help="device index to use")
     p.add_argument("--verbose", action="store_true", help="keep all logging")
+    p.add_argument(
+        "--dtype",
+        default=None,
+        choices=["float32", "bfloat16"],
+        help="compute dtype (bfloat16 engages the TPU fast paths)",
+    )
     return p
 
 
@@ -98,7 +104,7 @@ def main(argv=None) -> int:
     if args.gpu >= len(devices):
         raise SystemExit(f"device {args.gpu} not available ({len(devices)} present)")
     with jax.default_device(devices[args.gpu]):
-        runner = FlowRunner(model, params)
+        runner = FlowRunner(model, params, dtype=args.dtype)
         img0 = read_image(args.img0)
         img1 = read_image(args.img1)
         print(f"Network forward pass using {args.caffemodel}.")

@@ -90,12 +90,21 @@ MODEL_NAMES = tuple(MODEL_INITS)
 
 
 class FlowRunner:
-    """Resolution-aware cached inference engine for one model."""
+    """Resolution-aware cached inference engine for one model.
 
-    def __init__(self, model: str, params: dict):
+    ``dtype``: optional compute dtype for weights/activations ("bfloat16"
+    engages the MXU fast paths; EPE impact is sub-centipixel on the FlowNet
+    value ranges). Flow I/O stays float32 either way.
+    """
+
+    def __init__(self, model: str, params: dict, dtype=None):
         if model not in MODEL_INITS:
             raise ValueError(f"unknown model {model!r}; choose from {MODEL_NAMES}")
         self.model = model
+        if dtype is not None:
+            dtype = jnp.dtype(dtype)
+            params = jax.tree.map(lambda x: x.astype(dtype), params)
+        self.dtype = dtype
         self.params = params
         self._forward = _make_forward(model)
         self._jitted: dict = {}
@@ -104,17 +113,22 @@ class FlowRunner:
         key = (geom.adapted_height, geom.adapted_width, geom.target_height, geom.target_width)
         if key not in self._jitted:
 
+            dtype = self.dtype
+
             @jax.jit
             def program(params, img0, img1):
                 # Adapt input resolution (deploy's leading Resample layers).
                 ah, aw = geom.adapted_height, geom.adapted_width
                 img0a = resample(img0, ah, aw, method="linear")
                 img1a = resample(img1, ah, aw, method="linear")
+                if dtype is not None:
+                    img0a = img0a.astype(dtype)
+                    img1a = img1a.astype(dtype)
                 flow = self._forward(params, img0a, img1a)
                 # Back to target size with per-axis flow rescale
                 # (deploy's trailing Resample × $SCALE_*$ Eltwise).
                 th, tw = geom.target_height, geom.target_width
-                flow = resample(flow, th, tw, method="linear", antialias=False)
+                flow = resample(flow.astype(jnp.float32), th, tw, method="linear", antialias=False)
                 scale = jnp.asarray([geom.scale_width, geom.scale_height], jnp.float32)
                 return flow * scale
 
