@@ -57,12 +57,17 @@ def make_train_step(
     tx: optax.GradientTransformation,
     *,
     iter_size: int = 1,
+    debug_info: bool = False,
 ) -> Callable[[TrainState, Any], tuple[TrainState, jnp.ndarray, dict]]:
     """Build the jitted train step.
 
     ``loss_fn(params, batch) -> (scalar_loss, aux_dict)``. With iter_size>1,
     ``batch`` must have a leading micro-batch axis of that size; gradients
     are averaged across micro-batches inside the compiled program.
+
+    ``debug_info`` adds per-parameter L1-mean stats of params and grads to
+    the aux dict (the reference's ``debug_info`` per-blob dump,
+    net.cpp:605-682, as structured data instead of log lines).
     """
 
     def step(state: TrainState, batch) -> tuple[TrainState, jnp.ndarray, dict]:
@@ -83,6 +88,10 @@ def make_train_step(
             grads = jax.tree.map(lambda g: g / iter_size, grads)
             loss = jnp.mean(losses)
             aux = jax.tree.map(jnp.mean, auxes)
+
+        if debug_info:
+            mean_abs = lambda t: jax.tree.map(lambda x: jnp.mean(jnp.abs(x)), t)
+            aux = dict(aux, param_l1=mean_abs(state.params), grad_l1=mean_abs(grads))
 
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
