@@ -20,6 +20,13 @@ import sys
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--model", default="flownets", help="flownets|flownetc|flownet2-sd")
+    p.add_argument(
+        "--loss",
+        default=None,
+        help="objective override (e.g. flownet2-sd-sdhom for ChairsSDHom with "
+        "black augmentation + Lpq, flownet2-s1/-s2 for frozen-upstream "
+        "cascade-stage finetuning); defaults to the model's standard loss",
+    )
     p.add_argument("--dataset", default="flyingchairs")
     p.add_argument("--data-root", required=True)
     p.add_argument("--schedule", default="S_long", help="S_long|S_short|S_fine")
@@ -47,8 +54,9 @@ def main(argv=None) -> int:
     from flownet2_tpu.train.lr_policies import FLOWNET_SCHEDULES
     from flownet2_tpu.train.objectives import LOSSES
 
-    if args.model not in LOSSES:
-        raise SystemExit(f"no training objective for {args.model!r}; choose {sorted(LOSSES)}")
+    loss_key = args.loss or args.model
+    if loss_key not in LOSSES:
+        raise SystemExit(f"no training objective {loss_key!r}; choose {sorted(LOSSES)}")
     crop_h, crop_w = (int(v) for v in args.crop.split("x"))
 
     sched = dict(FLOWNET_SCHEDULES[args.schedule])
@@ -68,7 +76,7 @@ def main(argv=None) -> int:
 
     from flownet2_tpu.data.augment_pipeline import make_augmented_loss
 
-    loss_fn = LOSSES[args.model]
+    loss_fn = LOSSES[loss_key]
     if not args.no_augment:
         loss_fn = make_augmented_loss(loss_fn, crop_h, crop_w, seed=args.seed)
 

@@ -29,10 +29,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _corr_kernel(
     f1_ref,  # (1, TH, W, C) VMEM
-    f2p_hbm,  # (B, H + 2md, W + 2md, C) HBM/ANY
+    f2p_hbm,  # (B, H + 2md, SW, C) HBM/ANY (SW = alignment-padded width)
     out_ref,  # (1, gw*gw, TH, W) VMEM — displacement-major so the inner
     #            loop's store index lands on a leading dim, not the lanes
-    f2_scratch,  # (TH + 2md, W + 2md, C) VMEM
+    f2_scratch,  # (TH + 2md, SW, C) VMEM
     dma_sem,
     *,
     md: int,
@@ -40,6 +40,7 @@ def _corr_kernel(
     th: int,
     width: int,
     channels: int,
+    win_w: int,
 ):
     b = pl.program_id(0)
     ht = pl.program_id(1)
@@ -58,14 +59,36 @@ def _corr_kernel(
     copy.wait()
 
     inv_norm = 1.0 / channels
+    # Column (sublane-dim) offsets must be 8-aligned for vector loads, so
+    # each displacement loads an aligned window of win_w (= W rounded up + 8)
+    # and rotates the residue away. Residues are the multiples of
+    # gcd(stride2, 8) below 8; branch index = residue // gcd.
+    g = math.gcd(stride2, 8)
+    residues = list(range(0, 8, g))
 
     def body(d, _):
-        # d = p*gw + o → row offset p*stride2, col offset o*stride2
         p = d // gw
         o = d - p * gw
-        sh = f2_scratch[
-            pl.ds(p * stride2, th), pl.ds(o * stride2, width), :
+        off = o * stride2
+        off0 = pl.multiple_of((off // 8) * 8, 8)
+        window = f2_scratch[
+            pl.ds(p * stride2, th), pl.ds(off0, win_w), :
         ].astype(jnp.float32)
+
+        def make_branch(r):
+            def branch():
+                # left-rotate by r == roll right by win_w - r (pltpu.roll
+                # requires non-negative shifts)
+                rolled = pltpu.roll(window, win_w - r, 1) if r else window
+                return rolled[:, :width, :]
+
+            return branch
+
+        if len(residues) == 1:
+            sh = make_branch(residues[0])()
+        else:
+            pos = (off - off0) // g
+            sh = jax.lax.switch(pos, [make_branch(r) for r in residues])
         q = jnp.sum(f1 * sh, axis=-1) * inv_norm  # (TH, W)
         out_ref[0, d] = q.astype(out_ref.dtype)
         return 0
@@ -91,32 +114,39 @@ def correlation_pallas(
     gr = md // stride2
     gw = 2 * gr + 1
 
-    f2p = jnp.pad(f2, ((0, 0), (md, md), (md, md), (0, 0)))
+    # Aligned-window geometry: per displacement the kernel loads win_w
+    # columns starting at an 8-aligned offset ≤ 2·md, so the padded width
+    # must reach max_aligned_offset + win_w.
+    win_w = ((w + 7) // 8) * 8 + 8
+    max_off0 = ((2 * md) // 8) * 8
+    sw = max(max_off0 + win_w, w + 2 * md)
+    f2p = jnp.pad(f2, ((0, 0), (md, md), (md, sw - w - md), (0, 0)))
 
     # Pick an h-tile that divides H and keeps scratch + blocks within ~10MB.
     bytes_per = f2.dtype.itemsize
 
     def vmem_use(th_):
-        scratch = (th_ + 2 * md) * (w + 2 * md) * c * bytes_per
+        scratch = (th_ + 2 * md) * sw * c * bytes_per
         f1_blk = th_ * w * c * bytes_per
         out_blk = th_ * w * gw * gw * f1.dtype.itemsize
         return 2 * (f1_blk + out_blk) + scratch  # blocks double-buffered
 
-    th = h
-    while th > 8 and vmem_use(th) > 10 * 1024 * 1024:
-        # shrink to the next divisor of h
-        th_new = th // 2
-        while h % th_new:
-            th_new -= 1
-        th = th_new
-    if vmem_use(th) > 14 * 1024 * 1024:
+    # Mosaic requires block sublane dims ≡ 0 (mod 8) or == the full dim, so
+    # candidate tiles are h itself plus 8-multiples dividing h, largest first.
+    candidates = [h] + [t for t in range(8 * (h // 8), 7, -8) if h % t == 0]
+    th = None
+    for t in candidates:
+        if vmem_use(t) <= 10 * 1024 * 1024:
+            th = t
+            break
+    if th is None:
         raise ValueError(
             f"correlation_pallas: no feasible tiling for shape {f1.shape}"
         )
 
     grid = (b, h // th)
     kernel = partial(
-        _corr_kernel, md=md, stride2=stride2, th=th, width=w, channels=c
+        _corr_kernel, md=md, stride2=stride2, th=th, width=w, channels=c, win_w=win_w
     )
     out = pl.pallas_call(
         kernel,
@@ -132,7 +162,7 @@ def correlation_pallas(
         ),
         out_shape=jax.ShapeDtypeStruct((b, gw * gw, h, w), f1.dtype),
         scratch_shapes=[
-            pltpu.VMEM((th + 2 * md, w + 2 * md, c), f2.dtype),
+            pltpu.VMEM((th + 2 * md, sw, c), f2.dtype),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
