@@ -166,37 +166,89 @@ def correlation(
 from functools import lru_cache
 
 
-@lru_cache(maxsize=None)
-def _make_fast_correlation(max_displacement: int, stride2: int):
-    """Pallas forward + reference-derived backward for the FlowNet config."""
-    from flownet2_tpu.ops.pallas.correlation import correlation_pallas
+def _corr_flownet_bwd_scans(f1, f2, g, *, md: int, stride2: int):
+    """Hand-derived gradients for the k=1/s1=1/pad=md correlation.
 
-    ref = partial(
-        correlation,
-        max_displacement=max_displacement,
-        kernel_size=1,
-        stride1=1,
-        stride2=stride2,
-        pad=max_displacement,
+    These are the transposes the reference hand-writes as the inverted
+    displacement-range kernels (correlation_layer.cu:118-249), expressed as
+    scans over the displacement grid (each step full-tensor elementwise work
+    — the same parallel structure as the forward, unlike autodiff's
+    residual-carrying reverse scan, which measured ~3× slower in the
+    training step on v5e):
+
+      df1[y,x,c]  = (1/C)·Σ_d g[y,x,d] · f2p[y+md+dy, x+md+dx, c]
+      df2[y',x',c] = (1/C)·Σ_d g[y'-dy, x'-dx, d] · f1[y'-dy, x'-dx, c]
+    """
+    n, h, w, c = f1.shape
+    gr = md // stride2
+    gw = 2 * gr + 1
+    g = g.astype(jnp.float32)
+    f1f = f1.astype(jnp.float32)
+    pad_cfg = ((0, 0), (md, md), (md, md), (0, 0))
+    f2p = jnp.pad(f2.astype(jnp.float32), pad_cfg)
+    inv_norm = 1.0 / c
+
+    def df1_step(acc, d):
+        dy = (d // gw - gr) * stride2
+        dx = (d % gw - gr) * stride2
+        sl = lax.dynamic_slice(f2p, (0, md + dy, md + dx, 0), (n, h, w, c))
+        gd = lax.dynamic_slice(g, (0, 0, 0, d), (n, h, w, 1))
+        return acc + gd * sl, None
+
+    df1, _ = lax.scan(
+        df1_step, jnp.zeros((n, h, w, c), jnp.float32), jnp.arange(gw * gw)
     )
+
+    def df2_step(accp, d):
+        dy = (d // gw - gr) * stride2
+        dx = (d % gw - gr) * stride2
+        gd = lax.dynamic_slice(g, (0, 0, 0, d), (n, h, w, 1))
+        contrib = gd * f1f
+        start = (0, md + dy, md + dx, 0)
+        cur = lax.dynamic_slice(accp, start, (n, h, w, c))
+        return lax.dynamic_update_slice(accp, cur + contrib, start), None
+
+    accp, _ = lax.scan(
+        df2_step,
+        jnp.zeros((n, h + 2 * md, w + 2 * md, c), jnp.float32),
+        jnp.arange(gw * gw),
+    )
+    df2 = lax.slice(accp, (0, md, md, 0), (n, md + h, md + w, c))
+    return (
+        (df1 * inv_norm).astype(f1.dtype),
+        (df2 * inv_norm).astype(f2.dtype),
+    )
+
+
+@lru_cache(maxsize=None)
+def _make_fast_correlation(max_displacement: int, stride2: int, use_pallas: bool):
+    """custom-VJP correlation for the FlowNet config (k=1, s1=1, pad=md):
+    forward via the Pallas kernel or the XLA scan, backward via the
+    hand-derived displacement scans above."""
+    md = max_displacement
+
+    def fwd_impl(f1, f2):
+        if use_pallas:
+            from flownet2_tpu.ops.pallas.correlation import correlation_pallas
+
+            return correlation_pallas(f1, f2, max_displacement=md, stride2=stride2)
+        return correlation(
+            f1, f2, max_displacement=md, kernel_size=1, stride1=1,
+            stride2=stride2, pad=md,
+        )
 
     @jax.custom_vjp
     def fast(f1, f2):
-        return correlation_pallas(
-            f1, f2, max_displacement=max_displacement, stride2=stride2
-        )
+        return fwd_impl(f1, f2)
 
     def fwd(f1, f2):
         return fast(f1, f2), (f1, f2)
 
     def bwd(res, g):
         f1, f2 = res
-        # Backward = transpose of the (linear-in-each-input) forward; derived
-        # from the XLA reference implementation. The reference's inverted
-        # displacement-range kernels (correlation_layer.cu:118-249) are this
-        # transpose hand-written.
-        _, vjp = jax.vjp(ref, f1, f2)
-        return vjp(g)
+        g = lax.optimization_barrier(g)
+        out = _corr_flownet_bwd_scans(f1, f2, g, md=md, stride2=stride2)
+        return lax.optimization_barrier(out)
 
     fast.defvjp(fwd, bwd)
     return fast
@@ -214,21 +266,21 @@ def correlation_auto(
     multiply: bool = True,
     do_abs: bool = False,
 ) -> jnp.ndarray:
-    """Dispatch to the fused Pallas kernel when the config and backend allow,
-    else the XLA reference path."""
+    """Dispatch to the custom-VJP FlowNet-config path (hand-derived backward;
+    forward via Pallas if opted in, else the XLA scan), falling back to the
+    general reference path for other configs."""
     import os
 
-    use_pallas = (
-        multiply
-        and kernel_size == 1
-        and stride1 == 1
-        and pad == max_displacement
-        and jax.default_backend() != "cpu"
-        # opt-in until the Mosaic kernel beats the XLA scan formulation
-        and os.environ.get("FLOWNET2_TPU_PALLAS_CORR", "0") == "1"
+    flownet_config = (
+        multiply and kernel_size == 1 and stride1 == 1 and pad == max_displacement
     )
-    if use_pallas:
-        return _make_fast_correlation(max_displacement, stride2)(f1, f2)
+    if flownet_config:
+        # the Mosaic kernel is opt-in until it beats the XLA scan formulation
+        use_pallas = (
+            jax.default_backend() != "cpu"
+            and os.environ.get("FLOWNET2_TPU_PALLAS_CORR", "0") == "1"
+        )
+        return _make_fast_correlation(max_displacement, stride2, use_pallas)(f1, f2)
     return correlation(
         f1,
         f2,

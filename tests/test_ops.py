@@ -223,3 +223,40 @@ class TestAccum:
         assert out.shape == (1, 4, 6, 2)
         out = accum([a, b], size_divisible_by=8)
         assert out.shape == (1, 8, 16, 2)
+
+
+class TestCorrelationCustomVjp:
+    """The hand-derived backward (correlation_auto's FlowNet-config path)
+    must match autodiff of the reference implementation."""
+
+    def test_grads_match_autodiff(self, rng):
+        from flownet2_tpu.ops.correlation import correlation_auto
+
+        f1 = jnp.asarray(rng.standard_normal((2, 8, 10, 4)).astype(np.float32))
+        f2 = jnp.asarray(rng.standard_normal((2, 8, 10, 4)).astype(np.float32))
+        g = jnp.asarray(rng.standard_normal((2, 8, 10, 25)).astype(np.float32))
+        kwargs = dict(max_displacement=2, kernel_size=1, stride1=1, stride2=1, pad=2)
+
+        def custom(a, b):
+            return jnp.vdot(correlation_auto(a, b, **kwargs), g)
+
+        def ref(a, b):
+            return jnp.vdot(correlation(a, b, **kwargs), g)
+
+        gc = jax.grad(custom, argnums=(0, 1))(f1, f2)
+        gr = jax.grad(ref, argnums=(0, 1))(f1, f2)
+        np.testing.assert_allclose(np.asarray(gc[0]), np.asarray(gr[0]), rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(gc[1]), np.asarray(gr[1]), rtol=1e-4, atol=1e-5)
+
+    def test_grads_match_autodiff_stride2(self, rng):
+        from flownet2_tpu.ops.correlation import correlation_auto
+
+        f1 = jnp.asarray(rng.standard_normal((1, 10, 12, 3)).astype(np.float32))
+        f2 = jnp.asarray(rng.standard_normal((1, 10, 12, 3)).astype(np.float32))
+        kwargs = dict(max_displacement=4, kernel_size=1, stride1=1, stride2=2, pad=4)
+        gw2 = (2 * 2 + 1) ** 2
+        g = jnp.asarray(rng.standard_normal((1, 10, 12, gw2)).astype(np.float32))
+        gc = jax.grad(lambda a, b: jnp.vdot(correlation_auto(a, b, **kwargs), g), argnums=(0, 1))(f1, f2)
+        gr = jax.grad(lambda a, b: jnp.vdot(correlation(a, b, **kwargs), g), argnums=(0, 1))(f1, f2)
+        np.testing.assert_allclose(np.asarray(gc[0]), np.asarray(gr[0]), rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(gc[1]), np.asarray(gr[1]), rtol=1e-4, atol=1e-5)
