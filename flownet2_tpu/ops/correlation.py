@@ -131,33 +131,47 @@ def correlation(
         f1p, (0, md, md, 0), (n, md + span_h, md + span_w, c)
     )  # (N, span_h, span_w, C)
 
-    def one_displacement(_, d):
-        dy = (d // gw - gr) * stride2
-        dx = (d % gw - gr) * stride2
-        f2_span = lax.dynamic_slice(
-            f2p, (0, md + dy, md + dx, 0), (n, span_h, span_w, c)
+    # Scan over displacement ROWS (gw steps), horizontal displacements
+    # unrolled: each step reads one (N, span_h, W-padded, C) row block ONCE
+    # and produces all gw horizontal slices from it. A flat scan over gw²
+    # displacements re-reads ~the whole padded tensor every step and is
+    # HBM-bandwidth-bound (~6× slower measured on v5e).
+    wp = f2p.shape[2]
+
+    def one_row(_, p):
+        dy = (p - gr) * stride2
+        row_block = lax.dynamic_slice(
+            f2p, (0, md + dy, 0, 0), (n, span_h, wp, c)
         )
-        if multiply:
-            q = jnp.sum(f1_span * f2_span, axis=-1)  # (N, span_h, span_w)
-        else:
-            q = jnp.sum(jnp.abs(f1_span - f2_span), axis=-1)
-        # k×k box sum (identity for k=1), then stride1 subsampling.
-        if kernel_size > 1:
-            q = lax.reduce_window(
-                q,
-                0.0,
-                lax.add,
-                window_dimensions=(1, kernel_size, kernel_size),
-                window_strides=(1, 1, 1),
-                padding="VALID",
+        qs = []
+        for o in range(gw):
+            dx = (o - gr) * stride2
+            f2_span = lax.slice(
+                row_block, (0, 0, md + dx, 0), (n, span_h, md + dx + span_w, c)
             )
-        q = q[:, :: stride1, :: stride1]
-        return None, q
+            if multiply:
+                q = jnp.sum(f1_span * f2_span, axis=-1)  # (N, span_h, span_w)
+            else:
+                q = jnp.sum(jnp.abs(f1_span - f2_span), axis=-1)
+            # k×k box sum (identity for k=1), then stride1 subsampling.
+            if kernel_size > 1:
+                q = lax.reduce_window(
+                    q,
+                    0.0,
+                    lax.add,
+                    window_dimensions=(1, kernel_size, kernel_size),
+                    window_strides=(1, 1, 1),
+                    padding="VALID",
+                )
+            qs.append(q[:, :: stride1, :: stride1])
+        return None, jnp.stack(qs, axis=0)  # (gw, N, out_h, out_w)
 
     _, stacked = lax.scan(
-        one_displacement, None, jnp.arange(gw * gw, dtype=jnp.int32)
-    )  # (gw², N, out_h, out_w)
-    out = jnp.transpose(stacked, (1, 2, 3, 0))  # (N, out_h, out_w, gw²)
+        one_row, None, jnp.arange(gw, dtype=jnp.int32)
+    )  # (gw, gw, N, out_h, out_w)
+    out = jnp.transpose(
+        stacked.reshape(gw * gw, n, out_h, out_w), (1, 2, 3, 0)
+    )  # (N, out_h, out_w, gw²)
     norm = kernel_size * kernel_size * c
     out = (out / norm).astype(f1.dtype)
     return lax.optimization_barrier(out)
@@ -187,31 +201,47 @@ def _corr_flownet_bwd_scans(f1, f2, g, *, md: int, stride2: int):
     pad_cfg = ((0, 0), (md, md), (md, md), (0, 0))
     f2p = jnp.pad(f2.astype(jnp.float32), pad_cfg)
     inv_norm = 1.0 / c
+    wp = w + 2 * md
 
-    def df1_step(acc, d):
-        dy = (d // gw - gr) * stride2
-        dx = (d % gw - gr) * stride2
-        sl = lax.dynamic_slice(f2p, (0, md + dy, md + dx, 0), (n, h, w, c))
-        gd = lax.dynamic_slice(g, (0, 0, 0, d), (n, h, w, 1))
-        return acc + gd * sl, None
+    # Both scans chunk by displacement ROW (gw steps) with the horizontal
+    # displacements unrolled inside each step — one row-block of HBM traffic
+    # per step instead of a full accumulator pass per displacement (see the
+    # forward's note; this is what makes training-time correlation cheap).
+
+    def df1_step(acc, p):
+        dy = (p - gr) * stride2
+        row_block = lax.dynamic_slice(f2p, (0, md + dy, 0, 0), (n, h, wp, c))
+        g_row = lax.dynamic_slice(g, (0, 0, 0, p * gw), (n, h, w, gw))
+        contrib = jnp.zeros_like(acc)
+        for o in range(gw):
+            dx = (o - gr) * stride2
+            sl = lax.slice(row_block, (0, 0, md + dx, 0), (n, h, md + dx + w, c))
+            contrib = contrib + g_row[..., o : o + 1] * sl
+        return acc + contrib, None
 
     df1, _ = lax.scan(
-        df1_step, jnp.zeros((n, h, w, c), jnp.float32), jnp.arange(gw * gw)
+        df1_step, jnp.zeros((n, h, w, c), jnp.float32), jnp.arange(gw)
     )
 
-    def df2_step(accp, d):
-        dy = (d // gw - gr) * stride2
-        dx = (d % gw - gr) * stride2
-        gd = lax.dynamic_slice(g, (0, 0, 0, d), (n, h, w, 1))
-        contrib = gd * f1f
-        start = (0, md + dy, md + dx, 0)
-        cur = lax.dynamic_slice(accp, start, (n, h, w, c))
-        return lax.dynamic_update_slice(accp, cur + contrib, start), None
+    def df2_step(accp, p):
+        dy = (p - gr) * stride2
+        g_row = lax.dynamic_slice(g, (0, 0, 0, p * gw), (n, h, w, gw))
+        # all horizontal placements land in the same padded row block
+        row = jnp.zeros((n, h, wp, c), jnp.float32)
+        for o in range(gw):
+            dx = (o - gr) * stride2
+            contrib = g_row[..., o : o + 1] * f1f
+            row = row + jnp.pad(
+                contrib, ((0, 0), (0, 0), (md + dx, md - dx), (0, 0))
+            )
+        start = (0, md + dy, 0, 0)
+        cur = lax.dynamic_slice(accp, start, (n, h, wp, c))
+        return lax.dynamic_update_slice(accp, cur + row, start), None
 
     accp, _ = lax.scan(
         df2_step,
-        jnp.zeros((n, h + 2 * md, w + 2 * md, c), jnp.float32),
-        jnp.arange(gw * gw),
+        jnp.zeros((n, h + 2 * md, wp, c), jnp.float32),
+        jnp.arange(gw),
     )
     df2 = lax.slice(accp, (0, md, md, 0), (n, md + h, md + w, c))
     return (
