@@ -162,20 +162,23 @@ int fd_write_flo_header(uint8_t* out, int32_t width, int32_t height) {
 
 int fd_decode_record(const uint8_t* body, int64_t len, float* img0,
                      float* img1, float* flow, float* occ,
-                     int32_t* width, int32_t* height, int32_t* has_occ) {
+                     int32_t* width, int32_t* height, int32_t* has_occ,
+                     int32_t* flow_channels) {
   if (len < 12) return -1;
   uint32_t h, w, flags;
   std::memcpy(&h, body, 4);
   std::memcpy(&w, body + 4, 4);
   std::memcpy(&flags, body + 8, 4);
   int64_t px = static_cast<int64_t>(h) * w;
-  int64_t need = 12 + px * 3 * 2 + px * 2 * 2;
   int occ_present = flags & 1;
+  int64_t n_flow = (flags & 2) ? 1 : 2;  // bit 1: disparity (1 channel)
+  int64_t need = 12 + px * 3 * 2 + px * n_flow * 2;
   if (occ_present) need += (px + 7) / 8;
   if (len < need) return -2;
   *width = static_cast<int32_t>(w);
   *height = static_cast<int32_t>(h);
   *has_occ = occ_present;
+  *flow_channels = static_cast<int32_t>(n_flow);
   if (!img0) return 0;
 
   const uint8_t* p = body + 12;
@@ -183,12 +186,12 @@ int fd_decode_record(const uint8_t* body, int64_t len, float* img0,
   p += px * 3;
   for (int64_t i = 0; i < px * 3; ++i) img1[i] = static_cast<float>(p[i]);
   p += px * 3;
-  fd_decode_flow_i16(reinterpret_cast<const int16_t*>(p), flow, px * 2);
-  p += px * 2 * 2;
+  fd_decode_flow_i16(reinterpret_cast<const int16_t*>(p), flow, px * n_flow);
+  p += px * n_flow * 2;
   if (occ_present && occ) fd_unpack_bits(p, occ, px);
   return 0;
 }
 
-int fd_version() { return 1; }
+int fd_version() { return 2; }
 
 }  // extern "C"

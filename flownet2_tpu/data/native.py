@@ -63,7 +63,7 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.fd_decode_pnm.restype = ctypes.c_int
         lib.fd_read_flo.argtypes = [u8p, i64, f32p, i64, i32p, i32p]
         lib.fd_read_flo.restype = ctypes.c_int
-        lib.fd_decode_record.argtypes = [u8p, i64, f32p, f32p, f32p, f32p, i32p, i32p, i32p]
+        lib.fd_decode_record.argtypes = [u8p, i64, f32p, f32p, f32p, f32p, i32p, i32p, i32p, i32p]
         lib.fd_decode_record.restype = ctypes.c_int
         lib.fd_version.restype = ctypes.c_int
         _lib = lib
@@ -148,23 +148,24 @@ def decode_record(body: bytes) -> Optional[dict]:
     w = ctypes.c_int32()
     h = ctypes.c_int32()
     has_occ = ctypes.c_int32()
+    flow_ch = ctypes.c_int32()
     rc = lib.fd_decode_record(
         _as_ptr(raw, ctypes.c_uint8), raw.size, None, None, None, None,
-        ctypes.byref(w), ctypes.byref(h), ctypes.byref(has_occ),
+        ctypes.byref(w), ctypes.byref(h), ctypes.byref(has_occ), ctypes.byref(flow_ch),
     )
     if rc != 0:
         raise ValueError(f"fd_decode_record header failed: {rc}")
     H, W = h.value, w.value
     img0 = np.empty((H, W, 3), np.float32)
     img1 = np.empty((H, W, 3), np.float32)
-    flow = np.empty((H, W, 2), np.float32)
+    flow = np.empty((H, W, flow_ch.value), np.float32)
     occ = np.empty((H, W), np.float32) if has_occ.value else np.empty((0,), np.float32)
     rc = lib.fd_decode_record(
         _as_ptr(raw, ctypes.c_uint8), raw.size,
         _as_ptr(img0, ctypes.c_float), _as_ptr(img1, ctypes.c_float),
         _as_ptr(flow, ctypes.c_float),
         _as_ptr(occ, ctypes.c_float) if has_occ.value else None,
-        ctypes.byref(w), ctypes.byref(h), ctypes.byref(has_occ),
+        ctypes.byref(w), ctypes.byref(h), ctypes.byref(has_occ), ctypes.byref(flow_ch),
     )
     if rc != 0:
         raise ValueError(f"fd_decode_record payload failed: {rc}")

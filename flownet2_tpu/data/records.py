@@ -31,6 +31,7 @@ from flownet2_tpu.core.codec import (
 
 MAGIC = b"FLR1"
 _FLAG_OCC = 1
+_FLAG_DISPARITY = 2  # "flow" payload has 1 channel (stereo disparity)
 
 
 class FlowRecordWriter:
@@ -50,11 +51,18 @@ class FlowRecordWriter:
         h, w = img0.shape[:2]
         if img1.shape[:2] != (h, w) or flow.shape[:2] != (h, w):
             raise ValueError("img0/img1/flow dimensions must match")
-        flags = _FLAG_OCC if occ is not None else 0
+        if flow.ndim == 2:
+            flow = flow[..., None]
+        n_flow_ch = flow.shape[-1]
+        if n_flow_ch not in (1, 2):
+            raise ValueError("flow/disparity payload must have 1 or 2 channels")
+        flags = (_FLAG_OCC if occ is not None else 0) | (
+            _FLAG_DISPARITY if n_flow_ch == 1 else 0
+        )
         payload = [
             np.ascontiguousarray(img0[..., :3], dtype=np.uint8).tobytes(),
             np.ascontiguousarray(img1[..., :3], dtype=np.uint8).tobytes(),
-            encode_flow_int16(flow[..., :2]).tobytes(),
+            encode_flow_int16(flow[..., :n_flow_ch]).tobytes(),
         ]
         if occ is not None:
             payload.append(encode_occlusion_bits(occ).tobytes())
@@ -112,10 +120,11 @@ class FlowRecordReader:
         off += n_img
         img1 = np.frombuffer(body, np.uint8, n_img, off).reshape(h, w, 3)
         off += n_img
+        n_flow_ch = 1 if flags & _FLAG_DISPARITY else 2
         flow = decode_flow_int16(
-            np.frombuffer(body, np.int16, h * w * 2, off).reshape(h, w, 2)
+            np.frombuffer(body, np.int16, h * w * n_flow_ch, off).reshape(h, w, n_flow_ch)
         )
-        off += h * w * 4
+        off += h * w * n_flow_ch * 2
         out = {
             "img0": img0.astype(np.float32),
             "img1": img1.astype(np.float32),

@@ -669,3 +669,36 @@ def apply_chromatic_eigen_transform(
     out = jnp.einsum("ec,nhwe->nhwc", ev, eig)
     out = jnp.clip(out, 0.0, max_multiplier)
     return out.astype(images.dtype)
+
+
+def apply_shadow(
+    images: jnp.ndarray,
+    shadow_nx: jnp.ndarray,
+    shadow_ny: jnp.ndarray,
+    shadow_distance: jnp.ndarray,
+    shadow_strength: jnp.ndarray,
+    *,
+    max_multiplier: float = 1.0,
+) -> jnp.ndarray:
+    """The reference's effect kernel (ApplyEffects,
+    data_augmentation_layer.cu:296-318): darken the half-plane
+    (x-W/2)·nx + (y-H/2)·ny > distance by ``strength``, then clamp.
+
+    Note the reference's tEffectCoeffs also carries fog_amount/fog_size/
+    motion_blur_* fields, but its GPU kernel never applies them — only the
+    shadow (and the separate gaussian noise). We mirror that: fog/motion-blur
+    specs are accepted by EffectAugSpec for config parity and ignored.
+    Per-item arrays: nx/ny (cos/sin of shadow_angle), distance, strength.
+    """
+    n, h, w, _ = images.shape
+    xs = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1) - w / 2
+    ys = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0) - h / 2
+    plane = (
+        xs[None] * shadow_nx[:, None, None]
+        + ys[None] * shadow_ny[:, None, None]
+        - shadow_distance[:, None, None]
+    )
+    shaded = images.astype(jnp.float32) - (plane > 0)[..., None] * shadow_strength[
+        :, None, None, None
+    ]
+    return jnp.clip(shaded, 0.0, max_multiplier).astype(images.dtype)

@@ -266,3 +266,19 @@ class TestChromaticEigen:
         }
         out = apply_chromatic_eigen_transform(imgs, {k: jnp.asarray(v) for k, v in coeffs.items()})
         assert float(jnp.mean(out)) > float(jnp.mean(imgs))
+
+
+def test_shadow_effect(rng):
+    from flownet2_tpu.ops.augment import apply_shadow
+
+    img = jnp.full((1, 8, 8, 3), 0.8)
+    out = apply_shadow(
+        img,
+        jnp.asarray([1.0]),  # nx: shadow on the right half-plane
+        jnp.asarray([0.0]),
+        jnp.asarray([0.0]),
+        jnp.asarray([0.3]),
+    )
+    o = np.asarray(out)
+    assert o[0, 4, 7, 0] == pytest.approx(0.5, abs=1e-6)  # shaded
+    assert o[0, 4, 0, 0] == pytest.approx(0.8, abs=1e-6)  # unshaded

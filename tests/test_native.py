@@ -12,7 +12,7 @@ pytestmark = pytest.mark.skipif(lib is None, reason="libflowdata.so unavailable"
 
 
 def test_version():
-    assert lib.fd_version() == 1
+    assert lib.fd_version() == 2
 
 
 def test_flow_codec_matches_numpy(rng):
@@ -68,3 +68,17 @@ def test_record_decode_matches_python(tmp_path, rng):
     np.testing.assert_array_equal(s["img0"], img0.astype(np.float32))
     np.testing.assert_allclose(s["flow"], flow, atol=1.0 / 64 + 1e-6)
     np.testing.assert_array_equal(s["occ"][..., 0], occ.astype(np.float32))
+
+
+def test_disparity_record(tmp_path, rng):
+    from flownet2_tpu.data import FlowRecordReader, FlowRecordWriter
+
+    img0 = rng.integers(0, 255, (6, 8, 3)).astype(np.uint8)
+    img1 = rng.integers(0, 255, (6, 8, 3)).astype(np.uint8)
+    disp = rng.uniform(-60, 0, (6, 8)).astype(np.float32)  # disparity: negative convention
+    path = str(tmp_path / "d.flowrec")
+    with FlowRecordWriter(path) as w:
+        w.write(img0, img1, disp)
+    s = FlowRecordReader(path)[0]
+    assert s["flow"].shape == (6, 8, 1)
+    np.testing.assert_allclose(s["flow"][..., 0], disp, atol=1.0 / 64 + 1e-6)
