@@ -40,6 +40,7 @@ def test_run_flownet_cli(tmp_path):
         text=True,
         cwd=REPO,
         timeout=600,
+        env=env,
     )
     assert r.returncode == 0, r.stderr[-2000:]
     flow = read_flo(out)
@@ -100,3 +101,27 @@ def test_training_with_augmentation_runs(tmp_path):
     for _ in range(3):
         loss, _ = solver.step(next(it))
         assert np.isfinite(loss)
+
+
+@needs_examples
+def test_run_flownet_many_cli(tmp_path):
+    """List-file batch inference: program reuse across same-resolution jobs
+    (run-flownet-many.py:50-75 semantics)."""
+    jobs = tmp_path / "jobs.txt"
+    out1, out2 = tmp_path / "a.flo", tmp_path / "b.flo"
+    jobs.write_text(
+        f"{EXAMPLES}/0000000-img0.ppm {EXAMPLES}/0000000-img1.ppm {out1}\n"
+        f"{EXAMPLES}/0000001-img0.ppm {EXAMPLES}/0000001-img1.ppm {out2}\n"
+    )
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=REPO)
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "flownet2_tpu.cli.run_flownet_many",
+            "random", "flownets", str(jobs),
+        ],
+        capture_output=True, text=True, cwd=REPO, timeout=600, env=env,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    for out in (out1, out2):
+        flow = read_flo(out)
+        assert flow.shape == (384, 512, 2)
