@@ -207,7 +207,13 @@ _FACTORIES = {
 }
 
 
-def open_dataset(name: str, root: str, **kw) -> FlowPairDataset:
+def open_dataset(name: str, root: str, **kw):
+    """Open a named dataset layout, or — when ``name`` is "flowrec" or
+    ``root`` points at a .flowrec file — the packed record format."""
+    if name.lower() == "flowrec" or root.endswith(".flowrec"):
+        from flownet2_tpu.data.records import FlowRecordReader
+
+        return FlowRecordReader(root)
     try:
         return _FACTORIES[name.lower().replace("_", "")](root, **kw)
     except KeyError:

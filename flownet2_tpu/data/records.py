@@ -140,3 +140,21 @@ class FlowRecordReader:
 
     def close(self):
         self._f.close()
+
+
+    # -- loader-protocol extras (mirror FlowPairDataset) -------------------
+
+    def permutation(self, seed, block_size: int = 1) -> np.ndarray:
+        """Seeded block-wise shuffle (the CustomData rand_permute/block_size
+        options, custom_data_layer.cpp:29-42) for BatchLoader."""
+        n = len(self)
+        if seed is None:
+            return np.arange(n)
+        rng = np.random.default_rng(seed)
+        n_blocks = (n + block_size - 1) // block_size
+        order = rng.permutation(n_blocks)
+        idx = []
+        for b in order:
+            lo = int(b) * block_size
+            idx.extend(range(lo, min(lo + block_size, n)))
+        return np.asarray(idx)

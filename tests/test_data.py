@@ -98,3 +98,25 @@ def test_batch_loader_transform(chairs_dir):
     batches = list(loader)
     assert len(batches) == len(ds)
     assert all("extra" in b for b in batches)
+
+
+def test_record_reader_as_dataset(tmp_path, rng):
+    """.flowrec files drive BatchLoader directly (the CustomData role)."""
+    from flownet2_tpu.data import FlowRecordWriter, open_dataset
+
+    path = str(tmp_path / "train.flowrec")
+    with FlowRecordWriter(path) as w:
+        for _ in range(5):
+            w.write(
+                rng.integers(0, 255, (16, 16, 3)).astype(np.uint8),
+                rng.integers(0, 255, (16, 16, 3)).astype(np.uint8),
+                rng.uniform(-5, 5, (16, 16, 2)).astype(np.float32),
+            )
+    ds = open_dataset("flowrec", path)
+    assert len(ds) == 5
+    p1 = ds.permutation(seed=3, block_size=2)
+    assert sorted(p1.tolist()) == list(range(5))
+    loader = BatchLoader(ds, batch_size=2, epochs=1, shuffle_seed=1, num_threads=1)
+    batches = list(loader)
+    assert len(batches) == 2
+    assert batches[0]["flow"].shape == (2, 16, 16, 2)
