@@ -88,49 +88,53 @@ def make_flownet_augmenter(
     Images/flow stay at source resolution; the device side produces crops.
     """
 
+    from flownet2_tpu.ops.augment import (
+        _sample_spec_n,
+        sample_valid_spatial_coeffs_batch,
+    )
+
     def transform(batch: dict, rng: np.random.Generator) -> dict:
         n, src_h, src_w = batch["img0"].shape[:3]
         # iteration isn't known host-side; callers can pre-scale spreads.
         discount = 1.0
+        geo = dict(crop_w=crop_w, crop_h=crop_h, src_w=src_w, src_h=src_h)
+        c0 = sample_valid_spatial_coeffs_batch(
+            config.spatial, rng, n_items=n, discount=discount, **geo
+        )
+        c1 = sample_valid_spatial_coeffs_batch(
+            config.spatial_offset, rng, n_items=n, discount=discount, base=c0, **geo
+        )
         m0 = np.zeros((n, 6), np.float32)
         m1 = np.zeros((n, 6), np.float32)
         inv1 = np.zeros((n, 6), np.float32)
-        gamma = np.ones((n,), np.float32)
-        brightness = np.zeros((n,), np.float32)
-        contrast = np.ones((n,), np.float32)
-        color = np.ones((n, 3), np.float32)
-        noise = np.zeros((n,), np.float32)
         for i in range(n):
-            c0 = sample_valid_spatial_coeffs(
-                config.spatial,
-                rng,
-                crop_w=crop_w,
-                crop_h=crop_h,
-                src_w=src_w,
-                src_h=src_h,
-                discount=discount,
+            a0 = spatial_matrix(
+                SpatialCoeffs(*(float(v) for v in c0[i])), crop_w, crop_h, src_w, src_h
             )
-            c1 = sample_valid_spatial_coeffs(
-                config.spatial_offset,
-                rng,
-                crop_w=crop_w,
-                crop_h=crop_h,
-                src_w=src_w,
-                src_h=src_h,
-                discount=discount,
-                base=c0,
+            a1 = spatial_matrix(
+                SpatialCoeffs(*(float(v) for v in c1[i])), crop_w, crop_h, src_w, src_h
             )
-            a0 = spatial_matrix(c0, crop_w, crop_h, src_w, src_h)
-            a1 = spatial_matrix(c1, crop_w, crop_h, src_w, src_h)
             m0[i] = a0
             m1[i] = a1
             inv1[i] = invert_affine(a1)
-            ch = config.chromatic.sample(rng, discount)
-            gamma[i] = ch.gamma
-            brightness[i] = ch.brightness
-            contrast[i] = ch.contrast
-            color[i] = ch.color
-            noise[i] = max(config.effect.sample_noise_std(rng, discount), 0.0)
+
+        ch = config.chromatic
+        one = np.ones((n,), np.float32)
+        gamma = _sample_spec_n(ch.gamma, rng, n, discount).astype(np.float32) if ch.gamma else one
+        brightness = _sample_spec_n(ch.brightness, rng, n, discount).astype(np.float32) if ch.brightness else one * 0
+        contrast = _sample_spec_n(ch.contrast, rng, n, discount).astype(np.float32) if ch.contrast else one
+        if ch.color is not None:
+            color = np.stack(
+                [_sample_spec_n(ch.color, rng, n, discount) for _ in range(3)], axis=1
+            ).astype(np.float32)
+        else:
+            color = np.ones((n, 3), np.float32)
+        if config.effect.noise is not None:
+            noise = np.maximum(
+                _sample_spec_n(config.effect.noise, rng, n, discount), 0.0
+            ).astype(np.float32)
+        else:
+            noise = np.zeros((n,), np.float32)
         batch = dict(batch)
         batch.update(
             aug_mat0=m0,

@@ -702,3 +702,130 @@ def apply_shadow(
         :, None, None, None
     ]
     return jnp.clip(shaded, 0.0, max_multiplier).astype(images.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Vectorized host sampling (fast path for the training loader)
+# ---------------------------------------------------------------------------
+
+
+def _sample_spec_n(spec: Optional[RandomSpec], rng: np.random.Generator, n: int, discount: float) -> np.ndarray:
+    """Vectorized RandomSpec sampling: n draws at once (same distributions as
+    RandomSpec.sample; the draw ORDER differs from the reference's scalar
+    sequence, which we don't claim bit-parity for)."""
+    if spec is None:
+        return np.zeros(n, np.float64)
+    spread = spec.spread * discount if spec.apply_schedule else spec.spread
+    t = spec.rand_type
+    if t == "uniform":
+        v = rng.uniform(spec.mean - spread, spec.mean + spread, n) if spread > 0 else np.full(n, spec.mean)
+        if spec.exp:
+            v = np.exp(v)
+    elif t == "gaussian":
+        v = rng.normal(spec.mean, spread, n) if spread > 0 else np.full(n, spec.mean)
+        if spec.exp:
+            v = np.exp(v)
+    elif t == "bernoulli":
+        v = (rng.uniform(size=n) < spec.prob).astype(np.float64) if spec.prob > 0 else np.zeros(n)
+    elif t in ("uniform_bernoulli", "gaussian_bernoulli"):
+        on = (rng.uniform(size=n) < spec.prob) if spec.prob > 0 else np.zeros(n, bool)
+        if spread > 0:
+            raw = (
+                rng.uniform(spec.mean - spread, spec.mean + spread, n)
+                if t == "uniform_bernoulli"
+                else rng.normal(spec.mean, spread, n)
+            )
+        else:
+            raw = np.full(n, spec.mean)
+        v = np.where(on, raw, 0.0)
+        if spec.exp:
+            v = np.exp(v)
+    else:
+        raise ValueError(f"unknown rand_type {t!r}")
+    if spec.discretize:
+        v = np.round(v)
+    return spec.multiplier * v
+
+
+def sample_valid_spatial_coeffs_batch(
+    spec: SpatialAugSpec,
+    rng: np.random.Generator,
+    *,
+    n_items: int,
+    crop_w: int,
+    crop_h: int,
+    src_w: int,
+    src_h: int,
+    discount: float = 1.0,
+    base: Optional[np.ndarray] = None,
+    max_tries: int = 50,
+) -> np.ndarray:
+    """Vectorized rejection sampling: (n_items, 6) coeff rows
+    [mirror, dx, dy, angle, zoom_x, zoom_y], all candidates evaluated at once
+    (the scalar path loops items × ≤50 tries in python — too slow for a
+    loader thread on small hosts).
+
+    ``base``: optional (n_items, 6) incoming coeffs composed additively (the
+    img2-relative mode). Items with no valid candidate fall back to base /
+    identity, mirroring the reference's max-tries warning path.
+    """
+    k = max_tries
+    total = n_items * k
+    mirror = _sample_spec_n(spec.mirror, rng, total, discount)
+    if spec.translate is not None:
+        dx = _sample_spec_n(spec.translate, rng, total, discount)
+        dy = _sample_spec_n(spec.translate, rng, total, discount)
+    else:
+        dx = np.zeros(total)
+        dy = np.zeros(total)
+    if spec.translate_x is not None:
+        dx = _sample_spec_n(spec.translate_x, rng, total, discount)
+    if spec.translate_y is not None:
+        dy = _sample_spec_n(spec.translate_y, rng, total, discount)
+    angle = _sample_spec_n(spec.rotate, rng, total, discount)
+    if spec.zoom is not None:
+        zx = _sample_spec_n(spec.zoom, rng, total, discount)
+    else:
+        zx = np.ones(total)
+    zy = zx.copy()
+    if spec.squeeze is not None:
+        sq = _sample_spec_n(spec.squeeze, rng, total, discount)
+        zx = zx * sq
+        zy = zy / sq
+
+    if base is not None:
+        b = np.repeat(np.asarray(base, np.float64), k, axis=0)
+        mirror = (mirror.astype(bool) ^ b[:, 0].astype(bool)).astype(np.float64)
+        dx = dx + b[:, 1]
+        dy = dy + b[:, 2]
+        angle = angle + b[:, 3]
+        zx = zx * np.where(b[:, 4] == 0, 1.0, b[:, 4])
+        zy = zy * np.where(b[:, 5] == 0, 1.0, b[:, 5])
+
+    # validity: all 4 crop corners land inside the source
+    # (vectorized generate_valid_spatial_coeffs corner math)
+    valid = np.ones(total, bool)
+    for cx in (0, crop_w - 1):
+        for cy in (0, crop_h - 1):
+            x1 = np.where(mirror.astype(bool), -cx + 0.5 * crop_w, cx - 0.5 * crop_w)
+            y1 = cy - 0.5 * crop_h
+            ca, sa = np.cos(angle), np.sin(angle)
+            x2 = ca * x1 - sa * y1 + dx * crop_w
+            y2 = sa * x1 + ca * y1 + dy * crop_h
+            x2 = x2 / zx + 0.5 * src_w
+            y2 = y2 / zy + 0.5 * src_h
+            valid &= (np.floor(x2) >= 0) & (np.floor(x2) <= src_w - 2)
+            valid &= (np.floor(y2) >= 0) & (np.floor(y2) <= src_h - 2)
+
+    cand = np.stack([mirror, dx, dy, angle, zx, zy], axis=1).reshape(n_items, k, 6)
+    valid = valid.reshape(n_items, k)
+    first = np.argmax(valid, axis=1)
+    any_valid = valid.any(axis=1)
+    out = cand[np.arange(n_items), first]
+    fallback = (
+        np.asarray(base, np.float64)
+        if base is not None
+        else np.tile(np.asarray([0, 0, 0, 0, 1, 1], np.float64), (n_items, 1))
+    )
+    out = np.where(any_valid[:, None], out, fallback)
+    return out.astype(np.float32)

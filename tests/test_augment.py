@@ -282,3 +282,21 @@ def test_shadow_effect(rng):
     o = np.asarray(out)
     assert o[0, 4, 7, 0] == pytest.approx(0.5, abs=1e-6)  # shaded
     assert o[0, 4, 0, 0] == pytest.approx(0.8, abs=1e-6)  # unshaded
+
+
+def test_vectorized_sampler_valid_and_fast(rng):
+    from flownet2_tpu.ops.augment import (
+        SpatialCoeffs,
+        crop_fits,
+        sample_valid_spatial_coeffs_batch,
+    )
+    from flownet2_tpu.data.augment_pipeline import FlowNetAugConfig
+
+    cfg = FlowNetAugConfig()
+    out = sample_valid_spatial_coeffs_batch(
+        cfg.spatial, rng, n_items=16, crop_w=448, crop_h=320, src_w=512, src_h=384
+    )
+    assert out.shape == (16, 6)
+    for row in out:
+        c = SpatialCoeffs(*(float(v) for v in row))
+        assert crop_fits(c, 448, 320, 512, 384)
