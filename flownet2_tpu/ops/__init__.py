@@ -18,9 +18,19 @@ from flownet2_tpu.ops.channel_norm import channel_norm
 from flownet2_tpu.ops.warp import flow_warp
 from flownet2_tpu.ops.resample import resample
 from flownet2_tpu.ops.downsample import downsample_nan_aware
-from flownet2_tpu.ops.correlation import correlation, correlation_1d
+from flownet2_tpu.ops.correlation import correlation, correlation_1d, correlation_auto
+from flownet2_tpu.ops.losses import epe, l1_loss, lpq_loss, multiscale_l1_loss
+from flownet2_tpu.ops.mean import apply_mean
+from flownet2_tpu.ops.accum import accum
 
 __all__ = [
+    "correlation_auto",
+    "epe",
+    "l1_loss",
+    "lpq_loss",
+    "multiscale_l1_loss",
+    "apply_mean",
+    "accum",
     "leaky_relu",
     "neg_relu",
     "conv2d",

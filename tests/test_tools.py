@@ -96,3 +96,16 @@ class TestMean:
     def test_requires_exactly_one(self):
         with pytest.raises(ValueError):
             apply_mean(jnp.ones((1, 1, 1, 3)))
+
+
+def test_plot_training_log(tmp_path):
+    log = tmp_path / "train.log"
+    log.write_text(
+        "Iteration 10, loss = 5.0 (1.0 iter/s)\n"
+        "Iteration 20, loss = 3.0 (1.0 iter/s)\n"
+        "Iteration 20, test metric = 4.0\n"
+    )
+    from flownet2_tpu.tools.plot_training_log import main
+
+    assert main([str(log), "--out", str(tmp_path / "x.png")]) == 0
+    assert (tmp_path / "x.png").stat().st_size > 0
