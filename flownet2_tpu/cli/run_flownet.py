@@ -30,21 +30,23 @@ def resolve_model_name(spec: str) -> str:
     base = os.path.basename(spec).lower().replace("_", "-").replace(".", "-")
     if spec.lower() in MODEL_NAMES:
         return spec.lower()
-    # longest-name-first so "flownet2-css" wins over "flownet2-cs"/"flownet2"
-    for name in sorted(MODEL_NAMES, key=len, reverse=True):
-        if name in base:
-            return name
-    # reference template names: FlowNet2-CSS-ft-sd, FlowNet2-S, FlowNet2-C...
-    aliases = {
-        "flownet2-s": "flownets",
-        "flownet2-c": "flownetc",
-        "flownet2-css-ft-sd": "flownet2-css",
-        "flownet2-kitti": "flownet2",
-        "flownet2-sintel": "flownet2",
-    }
-    for alias in sorted(aliases, key=len, reverse=True):
-        if alias in base:
-            return aliases[alias]
+    # one merged table, longest pattern first, so the most specific of the
+    # reference template names wins (FlowNet2-CSS-ft-sd over FlowNet2-CSS
+    # over FlowNet2-CS over FlowNet2-C over FlowNet2, FlowNet2-S over
+    # FlowNet2, ...)
+    table = {name: name for name in MODEL_NAMES}
+    table.update(
+        {
+            "flownet2-s": "flownets",
+            "flownet2-c": "flownetc",
+            "flownet2-css-ft-sd": "flownet2-css",
+            "flownet2-kitti": "flownet2",
+            "flownet2-sintel": "flownet2",
+        }
+    )
+    for pattern in sorted(table, key=len, reverse=True):
+        if pattern in base:
+            return table[pattern]
     raise SystemExit(f"cannot infer model from {spec!r}; known: {MODEL_NAMES}")
 
 
