@@ -260,3 +260,17 @@ class TestCorrelationCustomVjp:
         gr = jax.grad(lambda a, b: jnp.vdot(correlation(a, b, **kwargs), g), argnums=(0, 1))(f1, f2)
         np.testing.assert_allclose(np.asarray(gc[0]), np.asarray(gr[0]), rtol=1e-4, atol=1e-5)
         np.testing.assert_allclose(np.asarray(gc[1]), np.asarray(gr[1]), rtol=1e-4, atol=1e-5)
+
+    def test_grads_match_gather_path(self, rng):
+        """The MXU one-hot warp must be gradient-equivalent to the exact
+        gather warp (both differentiate the same bilinear form)."""
+        from flownet2_tpu.ops.warp import flow_warp_gather, flow_warp_onehot
+
+        img = jnp.asarray(rng.standard_normal((1, 7, 9, 2)).astype(np.float32))
+        flow = jnp.asarray(rng.uniform(0.2, 0.8, (1, 7, 9, 2)).astype(np.float32))
+        g = jnp.asarray(rng.standard_normal((1, 7, 9, 2)).astype(np.float32))
+
+        ga = jax.grad(lambda i, f: jnp.vdot(flow_warp_gather(i, f), g), argnums=(0, 1))(img, flow)
+        gb = jax.grad(lambda i, f: jnp.vdot(flow_warp_onehot(i, f), g), argnums=(0, 1))(img, flow)
+        np.testing.assert_allclose(np.asarray(ga[0]), np.asarray(gb[0]), atol=3e-2, rtol=3e-2)
+        np.testing.assert_allclose(np.asarray(ga[1]), np.asarray(gb[1]), atol=3e-2, rtol=3e-2)
