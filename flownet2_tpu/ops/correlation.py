@@ -180,6 +180,144 @@ def correlation(
 from functools import lru_cache
 
 
+# ---------------------------------------------------------------------------
+# MXU formulation for the FlowNet config (k=1, s1=1, pad=md) — "selmm".
+#
+# Per vertical displacement dy, the full horizontal cost row
+#   M[b,y,x,v] = Σ_c f1[b,y,x,c]·f2p[b, y+md+dy, v, c]
+# is ONE batched matmul over channels (MXU; measured 85 TFLOP/s at FlowNetC
+# shapes on v5e), and the needed entries out[...,dxi] = M[b,y,x, x+off0+
+# dxi·s2] lie on strided diagonals. Extracting them with a pad/reshape
+# "skew" costs a cross-lane relayout (~8 ms at FlowNetC shapes — worse than
+# the matmul!); instead the extraction is a SECOND tiny matmul against a
+# constant x-batched one-hot selection tensor S[x,v,j] = [v == x+off0+j·s2]
+# (einsum 'byxv,xvj->byxj'), which stays on the MXU. The matmul computes Wp
+# columns where only 2·md+1 are consumed (~3.7× FLOP overcount) but runs at
+# MXU rate instead of the displacement scan's VPU mul-reduce: measured
+# 4.2 ms vs 47 ms forward, and the same structure gives the backward as two
+# more banded matmuls per dy (df2's vertical shift-accumulation is
+# restructured as a scan over 8-row output blocks so every df2 row is
+# written exactly once — 7.7 ms vs the scan backward's tens of ms).
+# ---------------------------------------------------------------------------
+
+
+def _sel_tensor(w: int, wp: int, gw: int, off0: int, stride2: int, dtype):
+    """S[x, v, j] = 1 iff v == x + off0 + j*stride2 (constant, XLA-folded)."""
+    xs = lax.broadcasted_iota(jnp.int32, (w, wp, gw), 0)
+    vs = lax.broadcasted_iota(jnp.int32, (w, wp, gw), 1)
+    js = lax.broadcasted_iota(jnp.int32, (w, wp, gw), 2)
+    return (vs == xs + off0 + js * stride2).astype(dtype)
+
+
+def _corr_selmm_fwd(f1, f2, *, md: int, stride2: int):
+    """Forward cost volume via per-dy banded matmuls; FlowNet config only."""
+    n, h, w, c = f1.shape
+    gr = md // stride2
+    gw = 2 * gr + 1
+    off0 = md - gr * stride2
+    wp = w + 2 * md
+    f1, f2 = lax.optimization_barrier((f1, f2))
+    f2p = jnp.pad(f2, ((0, 0), (md, md), (md, md), (0, 0)))
+    # f32 inputs get true-f32 MXU passes and an f32 intermediate (parity
+    # path); bf16 keeps single-pass MXU and a bf16 intermediate.
+    f32 = f1.dtype == jnp.float32
+    prec = lax.Precision.HIGHEST if f32 else None
+    mdtype = jnp.float32 if f32 else jnp.bfloat16
+    s = _sel_tensor(w, wp, gw, off0, stride2, mdtype)
+
+    outs = []
+    for dyi in range(gw):
+        row = lax.slice(
+            f2p, (0, off0 + dyi * stride2, 0, 0), (n, off0 + dyi * stride2 + h, wp, c)
+        )
+        m = jnp.einsum(
+            "byxc,byvc->byxv", f1, row,
+            preferred_element_type=jnp.float32, precision=prec,
+        ).astype(mdtype)
+        outs.append(
+            jnp.einsum(
+                "byxv,xvj->byxj", m, s,
+                preferred_element_type=jnp.float32, precision=prec,
+            )
+        )
+    out = jnp.stack(outs, axis=3).reshape(n, h, w, gw * gw)
+    out = (out / c).astype(f1.dtype)
+    return lax.optimization_barrier(out)
+
+
+def _corr_selmm_bwd(f1, f2, g, *, md: int, stride2: int):
+    """Backward via the same banded-matmul structure (the reference
+    hand-writes these transposes as inverted-displacement CUDA kernels,
+    correlation_layer.cu:118-249):
+
+      dM_dy  = g_dy · Sᵀ            (un-select: band → dense row)
+      df1   += dM_dy · f2row_dy     (contraction over v)
+      df2    = Σ_dy shift_dy(dM_dyᵀ · f1)   (contraction over x)
+
+    The df2 vertical shift-sum runs as a scan over UB-row OUTPUT blocks with
+    the dy loop inside, so each df2 row is computed and written exactly once
+    instead of accumulating a padded (H+2md) buffer 2·gw times through HBM.
+    """
+    n, h, w, c = f1.shape
+    gr = md // stride2
+    gw = 2 * gr + 1
+    off0 = md - gr * stride2
+    wp = w + 2 * md
+    f32 = f1.dtype == jnp.float32
+    prec = lax.Precision.HIGHEST if f32 else None
+    mdtype = jnp.float32 if f32 else jnp.bfloat16
+    s = _sel_tensor(w, wp, gw, off0, stride2, mdtype)
+    g = lax.optimization_barrier(g).astype(mdtype)
+    f2p = jnp.pad(f2, ((0, 0), (md, md), (md, md), (0, 0)))
+
+    df1 = jnp.zeros((n, h, w, c), jnp.float32)
+    for dyi in range(gw):
+        g_dy = lax.slice(g, (0, 0, 0, dyi * gw), (n, h, w, (dyi + 1) * gw))
+        dm = jnp.einsum(
+            "byxj,xvj->byxv", g_dy, s,
+            preferred_element_type=jnp.float32, precision=prec,
+        ).astype(mdtype)
+        row = lax.slice(
+            f2p, (0, off0 + dyi * stride2, 0, 0), (n, off0 + dyi * stride2 + h, wp, c)
+        )
+        df1 = df1 + jnp.einsum(
+            "byxv,byvc->byxc", dm, row,
+            preferred_element_type=jnp.float32, precision=prec,
+        )
+
+    ub = 8
+    hp = -(-h // ub) * ub
+    # pad rows by md (shift range) + (hp - h) (block rounding) so every
+    # dynamic_slice below is in-bounds; padded rows contribute zeros.
+    gp = jnp.pad(g, ((0, 0), (md, md + hp - h), (0, 0), (0, 0)))
+    f1p = jnp.pad(f1, ((0, 0), (md, md + hp - h), (0, 0), (0, 0)))
+
+    def blk(_, bi):
+        u0 = bi * ub
+        acc = jnp.zeros((n, ub, wp, c), jnp.float32)
+        for dyi in range(gw):
+            dy = off0 + dyi * stride2 - md
+            gs = lax.dynamic_slice(gp, (0, u0 - dy + md, 0, dyi * gw), (n, ub, w, gw))
+            f1s = lax.dynamic_slice(f1p, (0, u0 - dy + md, 0, 0), (n, ub, w, c))
+            dm = jnp.einsum(
+                "byxj,xvj->byxv", gs, s,
+                preferred_element_type=jnp.float32, precision=prec,
+            ).astype(mdtype)
+            acc = acc + jnp.einsum(
+                "byxv,byxc->byvc", dm, f1s,
+                preferred_element_type=jnp.float32, precision=prec,
+            )
+        return None, acc
+
+    _, blocks = lax.scan(blk, None, jnp.arange(hp // ub, dtype=jnp.int32))
+    df2p = jnp.transpose(blocks, (1, 0, 2, 3, 4)).reshape(n, hp, wp, c)
+    df2 = lax.slice(df2p, (0, 0, md, 0), (n, h, md + w, c))
+    inv_norm = 1.0 / c
+    return lax.optimization_barrier(
+        ((df1 * inv_norm).astype(f1.dtype), (df2 * inv_norm).astype(f2.dtype))
+    )
+
+
 def _corr_flownet_bwd_scans(f1, f2, g, *, md: int, stride2: int):
     """Hand-derived gradients for the k=1/s1=1/pad=md correlation.
 
@@ -251,14 +389,22 @@ def _corr_flownet_bwd_scans(f1, f2, g, *, md: int, stride2: int):
 
 
 @lru_cache(maxsize=None)
-def _make_fast_correlation(max_displacement: int, stride2: int, use_pallas: bool):
-    """custom-VJP correlation for the FlowNet config (k=1, s1=1, pad=md):
-    forward via the Pallas kernel or the XLA scan, backward via the
-    hand-derived displacement scans above."""
+def _make_fast_correlation(max_displacement: int, stride2: int, impl: str):
+    """custom-VJP correlation for the FlowNet config (k=1, s1=1, pad=md).
+
+    impl:
+      "mxu"    — banded-matmul MXU formulation fwd+bwd (default; fastest
+                 measured on v5e, also correct on CPU);
+      "scan"   — displacement-scan fwd + hand-derived scan bwd (round-1 path,
+                 kept as oracle/fallback);
+      "pallas" — Mosaic kernel fwd + scan bwd (opt-in).
+    """
     md = max_displacement
 
     def fwd_impl(f1, f2):
-        if use_pallas:
+        if impl == "mxu":
+            return _corr_selmm_fwd(f1, f2, md=md, stride2=stride2)
+        if impl == "pallas":
             from flownet2_tpu.ops.pallas.correlation import correlation_pallas
 
             return correlation_pallas(f1, f2, max_displacement=md, stride2=stride2)
@@ -276,6 +422,8 @@ def _make_fast_correlation(max_displacement: int, stride2: int, use_pallas: bool
 
     def bwd(res, g):
         f1, f2 = res
+        if impl == "mxu":
+            return _corr_selmm_bwd(f1, f2, g, md=md, stride2=stride2)
         g = lax.optimization_barrier(g)
         out = _corr_flownet_bwd_scans(f1, f2, g, md=md, stride2=stride2)
         return lax.optimization_barrier(out)
@@ -305,12 +453,12 @@ def correlation_auto(
         multiply and kernel_size == 1 and stride1 == 1 and pad == max_displacement
     )
     if flownet_config:
-        # the Mosaic kernel is opt-in until it beats the XLA scan formulation
-        use_pallas = (
-            jax.default_backend() != "cpu"
-            and os.environ.get("FLOWNET2_TPU_PALLAS_CORR", "0") == "1"
-        )
-        return _make_fast_correlation(max_displacement, stride2, use_pallas)(f1, f2)
+        impl = os.environ.get("FLOWNET2_TPU_CORR_IMPL", "mxu")
+        if os.environ.get("FLOWNET2_TPU_PALLAS_CORR", "0") == "1":  # legacy knob
+            impl = "pallas"
+        if impl == "pallas" and jax.default_backend() == "cpu":
+            impl = "mxu"
+        return _make_fast_correlation(max_displacement, stride2, impl)(f1, f2)
     return correlation(
         f1,
         f2,
