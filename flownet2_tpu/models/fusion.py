@@ -13,6 +13,13 @@ import jax
 import jax.numpy as jnp
 
 from flownet2_tpu.models.common import ParamInit, conv_block, deconv_block
+from flownet2_tpu.ops.activations import leaky_relu
+from flownet2_tpu.ops.s2d import (
+    conv2d_s2d,
+    deconv2d_s2d,
+    depth_to_space,
+    space_to_depth,
+)
 
 
 def fusion_init(key: jax.Array, in_channels: int = 11, dtype=jnp.float32) -> dict:
@@ -37,8 +44,25 @@ def fusion_init(key: jax.Array, in_channels: int = 11, dtype=jnp.float32) -> dic
     return pi.params
 
 
-def fusion_apply(params: dict, x: jnp.ndarray) -> dict[str, jnp.ndarray]:
-    """x: (N, H, W, 11) → {"flow0", "flow1", "flow2"}; flow0 is final."""
+def fusion_apply(
+    params: dict, x: jnp.ndarray, *, layout: str = "auto"
+) -> dict[str, jnp.ndarray]:
+    """x: (N, H, W, 11) → {"flow0", "flow1", "flow2"}; flow0 is final.
+
+    layout="s2d" evaluates the full-resolution head in the space-to-depth
+    domain (ops/s2d.py) — an exact rewrite that takes the fusion net from
+    11.7 to ~5 ms at 448×320·b8 bf16 on v5e (full-res low-channel convs are
+    the cascade's slowest ops under XLA's native lowering). "auto" picks
+    s2d on accelerators when H, W are even; "plain" is the oracle path.
+    """
+    if layout == "auto":
+        layout = (
+            "s2d"
+            if jax.default_backend() != "cpu" and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0
+            else "plain"
+        )
+    if layout == "s2d":
+        return _fusion_apply_s2d(params, x)
     c0 = conv_block(params, "conv0", x)
     c1 = conv_block(params, "conv1", c0, stride=2)
     c1_1 = conv_block(params, "conv1_1", c1)
@@ -62,4 +86,43 @@ def fusion_apply(params: dict, x: jnp.ndarray) -> dict[str, jnp.ndarray]:
     inter0 = conv_block(params, "inter_conv0", concat0, relu=False)
     flow0 = conv_block(params, "predict_flow0", inter0, relu=False)
     flows["flow0"] = flow0
+    return flows
+
+
+def _fusion_apply_s2d(params: dict, x: jnp.ndarray) -> dict[str, jnp.ndarray]:
+    """Fusion net with the full-resolution levels in the s2d domain.
+
+    conv0 and the whole level-0 head (deconv0, upsample_flow1to0,
+    inter_conv0, predict_flow0) never materialize full-res activations:
+    s2d once at the input, depth_to_space once on the final 2-channel flow.
+    Levels 1-2 (half/quarter res) keep the plain path. Exactness is tested
+    against fusion_apply(layout="plain") in tests/test_models.py.
+    """
+    x2 = space_to_depth(x)
+    p = params
+    c0_2 = leaky_relu(conv2d_s2d(x2, p["conv0"]["w"], p["conv0"]["b"]))
+    c1 = leaky_relu(conv2d_s2d(c0_2, p["conv1"]["w"], p["conv1"]["b"], stride=2))
+    c1_1 = conv_block(p, "conv1_1", c1)
+    c2 = conv_block(p, "conv2", c1_1, stride=2)
+    c2_1 = conv_block(p, "conv2_1", c2)
+
+    flows = {}
+    flow2 = conv_block(p, "predict_flow2", c2_1, relu=False)
+    flows["flow2"] = flow2
+
+    up_feat1 = deconv_block(p, "deconv1", c2_1)
+    up_flow1 = deconv_block(p, "upsample_flow2to1", flow2, relu=False)
+    concat1 = jnp.concatenate([c1_1, up_feat1, up_flow1], axis=-1)
+    inter1 = conv_block(p, "inter_conv1", concat1, relu=False)
+    flow1 = conv_block(p, "predict_flow1", inter1, relu=False)
+    flows["flow1"] = flow1
+
+    up_feat0_2 = leaky_relu(deconv2d_s2d(concat1, p["deconv0"]["w"], p["deconv0"]["b"]))
+    up_flow0_2 = deconv2d_s2d(flow1, p["upsample_flow1to0"]["w"], p["upsample_flow1to0"]["b"])
+    concat0_2 = jnp.concatenate([c0_2, up_feat0_2, up_flow0_2], axis=-1)
+    inter0_2 = conv2d_s2d(
+        concat0_2, p["inter_conv0"]["w"], p["inter_conv0"]["b"], segments=(64, 16, 2)
+    )
+    flow0_2 = conv2d_s2d(inter0_2, p["predict_flow0"]["w"], p["predict_flow0"]["b"])
+    flows["flow0"] = depth_to_space(flow0_2)
     return flows

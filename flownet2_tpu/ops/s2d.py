@@ -1,0 +1,253 @@
+"""Space-to-depth execution domain for full-resolution convolutions.
+
+XLA-TPU convolutions at full resolution with few channels run at a fixed
+~1.5-2.7 ms each on v5e (8×320×448): channel counts below the 128-lane tile
+waste the MXU and the relayouts dominate (measured: conv3x3 82→Cout takes
+the same time for Cout=16 and Cout=128). The classic TPU fix is to fold 2×2
+spatial blocks into channels (space-to-depth) and rewrite each conv into an
+EXACT equivalent on the folded tensor:
+
+  - stride-1 k×k conv  →  (r+1)×(r+1) block conv producing all 4 output
+    phases as channels, evaluated once on a 1-block-padded input and
+    phase-aligned with shifted slices (no gather; r = (k-1)/2);
+  - stride-2 k×k conv  →  (r+1)×(r+1) block conv producing the plain
+    half-res output directly (leaving the s2d domain);
+  - k=4/s=2 deconv     →  one 2×2 VALID conv whose 4 phase outputs ARE the
+    s2d channels (the pixel-shuffle algebra of ops.conv.deconv2d_ps, minus
+    the final depth-to-space).
+
+The rewrites recover 50-100 TFLOP/s on the same layers (measured: fusion
+inter_conv0 2.74→~1.0 ms, conv0 1.67→0.55 ms). Weight remapping happens
+inside jit on the original parameter pytrees (tiny tensors, no param
+duplication), so checkpoints/importers are unaffected.
+
+Phase layout convention: channel block (di*2+dj) holds phase (row parity di,
+col parity dj): s2d(x)[b, m, n, (di*2+dj)*C + c] = x[b, 2m+di, 2n+dj, c].
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+from jax import lax
+
+
+def space_to_depth(x: jnp.ndarray) -> jnp.ndarray:
+    """(B, H, W, C) → (B, H/2, W/2, 4C); H, W must be even."""
+    n, h, w, c = x.shape
+    if h % 2 or w % 2:
+        raise ValueError(f"space_to_depth needs even dims, got {h}x{w}")
+    x = x.reshape(n, h // 2, 2, w // 2, 2, c)
+    return jnp.transpose(x, (0, 1, 3, 2, 4, 5)).reshape(n, h // 2, w // 2, 4 * c)
+
+
+def depth_to_space(x: jnp.ndarray) -> jnp.ndarray:
+    """(B, H2, W2, 4C) → (B, 2H2, 2W2, C)."""
+    n, h2, w2, c4 = x.shape
+    c = c4 // 4
+    x = x.reshape(n, h2, w2, 2, 2, c)
+    return jnp.transpose(x, (0, 1, 3, 2, 4, 5)).reshape(n, 2 * h2, 2 * w2, c)
+
+
+def _block_geometry(k: int):
+    """(r, block window w_k, pad p, per-dim phase shift)."""
+    r = (k - 1) // 2
+    wk = r + 1
+    p = -((-r) // 2)  # ceil(r/2)
+    shift = 1 if r % 2 else 0
+    return r, wk, p, shift
+
+
+def _remap_weights_s1(w: jnp.ndarray) -> jnp.ndarray:
+    """(k,k,Cin,Cout) → (wk,wk,4Cin,4Cout) for the stride-1 s2d conv.
+
+    Output channel block (di*2+dj); tap (dy,dx) of phase (di,dj) lands at
+    window position a = floor((di+dy)/2) - (di*shift - p), input phase
+    py = (di+dy) % 2 (and the x analogues).
+    """
+    k, _, cin, cout = w.shape
+    r, wk, p, shift = _block_geometry(k)
+    w2 = jnp.zeros((wk, wk, 4, cin, 4, cout), w.dtype)
+    for di in range(2):
+        for dj in range(2):
+            for dy in range(-r, r + 1):
+                for dx in range(-r, r + 1):
+                    a = (di + dy) // 2 - (di * shift - p)
+                    b = (dj + dx) // 2 - (dj * shift - p)
+                    py, px = (di + dy) % 2, (dj + dx) % 2
+                    w2 = w2.at[a, b, py * 2 + px, :, di * 2 + dj, :].add(
+                        w[dy + r, dx + r]
+                    )
+    return w2.reshape(wk, wk, 4 * cin, 4 * cout)
+
+
+def _remap_weights_s2(w: jnp.ndarray) -> jnp.ndarray:
+    """(k,k,Cin,Cout) → (wk,wk,4Cin,Cout) for the stride-2 s2d conv."""
+    k, _, cin, cout = w.shape
+    r, wk, p, _ = _block_geometry(k)
+    w2 = jnp.zeros((wk, wk, 4, cin, cout), w.dtype)
+    for dy in range(-r, r + 1):
+        for dx in range(-r, r + 1):
+            a = dy // 2 + p
+            b = dx // 2 + p
+            py, px = dy % 2, dx % 2
+            w2 = w2.at[a, b, py * 2 + px, :, :].add(w[dy + r, dx + r])
+    return w2.reshape(wk, wk, 4 * cin, cout)
+
+
+def _segment_permutation(segments, cin: int):
+    """Input-channel permutation mapping the canonical phase-major s2d layout
+    to a concat-of-s2d-tensors layout: concat([s2d(a), s2d(b)]) stores
+    segment-major [a·4phases | b·4phases], while the weight remap assumes
+    phase-major over the full Cin. perm[pos_in_concat] = canonical index."""
+    assert sum(segments) == cin, (segments, cin)
+    perm = []
+    off = 0
+    for cs in segments:
+        for ph in range(4):
+            for c in range(cs):
+                perm.append(ph * cin + off + c)
+        off += cs
+    return jnp.asarray(perm, jnp.int32)
+
+
+def conv2d_s2d(
+    x2: jnp.ndarray,
+    w: jnp.ndarray,
+    b: Optional[jnp.ndarray] = None,
+    *,
+    stride: int = 1,
+    segments=None,
+) -> jnp.ndarray:
+    """k×k (odd k, pad k//2) convolution evaluated in the s2d domain.
+
+    x2: s2d tensor (B, H2, W2, 4Cin). stride=1 returns the s2d of the
+    full-res output (B, H2, W2, 4Cout); stride=2 returns the plain half-res
+    output (B, H2, W2, Cout), exiting the domain. Matches
+    ops.conv.conv2d(x, w, stride=stride, padding=k//2) exactly.
+
+    ``segments``: per-phase channel sizes when x2 is a channel-concat of
+    several s2d tensors (concat does NOT commute with s2d; the weight rows
+    are permuted instead of relayouting the activation).
+    """
+    k = w.shape[0]
+    if k % 2 != 1:
+        raise ValueError("conv2d_s2d supports odd kernels only")
+    n, h2, w2_, _ = x2.shape
+    cin = w.shape[2]
+    cout = w.shape[3]
+    r, wk, p, shift = _block_geometry(k)
+    in_dtype = x2.dtype
+    if x2.dtype != w.dtype:
+        x2 = x2.astype(w.dtype)
+
+    if stride == 2:
+        xp = jnp.pad(x2, ((0, 0), (p, p), (p, p), (0, 0)))
+        wm = _remap_weights_s2(w)
+        if segments is not None:
+            wm = wm[:, :, _segment_permutation(segments, cin), :]
+        out = lax.conv_general_dilated(
+            xp, wm, (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32,
+        )  # (B, H2 + 2p - wk + 1, ...) = (B, H2 + (1 - shift) - 1 + shift, ...)
+        out = out[:, :h2, :w2_]
+        if b is not None:
+            out = out + b.astype(out.dtype)
+        return out.astype(in_dtype)
+
+    if stride != 1:
+        raise ValueError("conv2d_s2d supports stride 1 or 2")
+    wm = _remap_weights_s1(w)
+    if segments is not None:
+        wm = wm[:, :, _segment_permutation(segments, cin), :]
+    # The 4 phase convs each consume x2; without a barrier XLA re-fuses
+    # the producer (s2d transpose / channel concat) into every conv and
+    # recomputes it 4x (measured +2 ms on conv0 at 448x320 b8).
+    x2 = lax.optimization_barrier(x2)
+    if cout >= 32 or shift == 0:
+        # One conv per output phase with per-side padding so each output
+        # lands tile-aligned at (H2, W2) — slicing a merged (H2+1, W2+1)
+        # grid costs ~2.5 ms in relayouts at 448×320·b8 when Cout is large;
+        # the plain channel concat below IS the canonical phase-major s2d
+        # layout (no interleave). Measured conv0 (11→64): 0.78 ms vs 3.1
+        # merged and 1.66 plain.
+        phase_outs = []
+        for di in range(2):
+            for dj in range(2):
+                wp_ = wm[:, :, :, (di * 2 + dj) * cout : (di * 2 + dj + 1) * cout]
+                pad_y = (p - di * shift, wk - 1 - p + di * shift)
+                pad_x = (p - dj * shift, wk - 1 - p + dj * shift)
+                o = lax.conv_general_dilated(
+                    x2, wp_, (1, 1), (pad_y, pad_x),
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    preferred_element_type=jnp.float32,
+                )
+                if b is not None:
+                    o = o + b.astype(o.dtype)
+                phase_outs.append(o.astype(in_dtype))
+        return jnp.concatenate(phase_outs, axis=-1)
+    # Small Cout: 4 tiny convs waste the MXU lanes 4×; one merged conv with
+    # 4·Cout outputs + cheap phase-aligning slices wins (inter_conv0 82→16:
+    # 1.63 ms merged vs 3.19 per-phase vs 2.74 plain).
+    xp = jnp.pad(x2, ((0, 0), (p, p), (p, p), (0, 0)))
+    co = lax.conv_general_dilated(
+        xp, wm, (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    ).reshape(n, h2 + shift, w2_ + shift, 4, cout)
+    phases = []
+    for di in range(2):
+        for dj in range(2):
+            phases.append(co[:, di * shift : h2 + di * shift, dj * shift : w2_ + dj * shift, di * 2 + dj])
+    out = jnp.concatenate(phases, axis=-1)
+    if b is not None:
+        out = out + jnp.tile(b, 4).astype(out.dtype)
+    return out.astype(in_dtype)
+
+
+def deconv2d_s2d(
+    x: jnp.ndarray, w: jnp.ndarray, b: Optional[jnp.ndarray] = None
+) -> jnp.ndarray:
+    """k=4/s=2/p=1 deconvolution from plain half-res input (B,H2,W2,Cin) to
+    the s2d of its full-res output (B,H2,W2,4Cout). Weight layout matches
+    ops.conv.deconv2d: (4,4,Cout,Cin). Same algebra as deconv2d_ps with the
+    final depth-to-space elided (the phase grid IS the s2d layout)."""
+    if w.shape[0] != 4 or w.shape[1] != 4:
+        raise ValueError("deconv2d_s2d supports k=4 only")
+    in_dtype = x.dtype
+    if x.dtype != w.dtype:
+        x = x.astype(w.dtype)
+    x = lax.optimization_barrier(x)  # same 4-consumer refusion issue as conv2d_s2d
+    n, h2, w2_, cin = x.shape
+    cout = w.shape[2]
+    kidx = [[3, 1], [2, 0]]
+    w_ps = jnp.stack(
+        [
+            jnp.stack(
+                [
+                    jnp.stack([w[kidx[di][a], kidx[dj][bb]] for bb in range(2)], axis=0)
+                    for a in range(2)
+                ],
+                axis=0,
+            )
+            for di in range(2)
+            for dj in range(2)
+        ],
+        axis=-1,
+    )  # (2, 2, Cout, Cin, 4)
+    w_ps = jnp.transpose(w_ps, (0, 1, 3, 4, 2)).reshape(2, 2, cin, 4 * cout)
+    phase_outs = []
+    for di in range(2):
+        for dj in range(2):
+            wp_ = w_ps[:, :, :, (di * 2 + dj) * cout : (di * 2 + dj + 1) * cout]
+            o = lax.conv_general_dilated(
+                x, wp_, (1, 1), ((1 - di, di), (1 - dj, dj)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.float32,
+            )
+            if b is not None:
+                o = o + b.astype(o.dtype)
+            phase_outs.append(o.astype(in_dtype))
+    return jnp.concatenate(phase_outs, axis=-1)
