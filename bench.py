@@ -4,9 +4,23 @@
 Measures image-pairs/sec at 448x320 (the FlyingChairs training resolution,
 reference README.md:100-106) on the available accelerator, and compares
 against the reference's paper-sourced FlowNet2 runtime of ~123 ms/pair on a
-GTX 1080 (BASELINE.md) => ~8.13 pairs/sec.
+GTX 1080 at Sintel resolution (BASELINE.md) => ~8.13 pairs/sec.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Extra metrics (same JSON line, "extra" field):
+  - sintel_1024x448_pairs_per_sec: full cascade at Sintel-scale resolution
+    (the resolution the 123 ms/pair baseline is quoted at);
+  - train_flownetc_448x320_pairs_per_sec: FlowNetC train-step throughput
+    (fwd+bwd+SGD update, the reference's solver.cpp:194 hot loop), f32
+    master weights with bf16 compute (mixed precision).
+
+Timing methodology (IMPORTANT): on the remote-TPU tunnel used here,
+jax.block_until_ready does NOT actually block and repeated executions get
+deduplicated, so naive timing loops report fantasy numbers. Every metric
+below runs N data-dependent iterations inside ONE jitted fori_loop, forces
+completion with a scalar host fetch, and differences two N values to cancel
+the fixed dispatch/round-trip overhead.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 """
 
 from __future__ import annotations
@@ -17,42 +31,119 @@ import time
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
 REF_PAIRS_PER_SEC = 1000.0 / 123.0  # GTX 1080, FlowNet2 paper (BASELINE.md)
-H, W = 320, 448
 
 
-def main():
+def chain_ms(op, feedback_arg, rest_args, n1, n2):
+    """ms/iter of op(feedback_arg, *rest) with data-dependent chaining."""
+
+    @jax.jit  # rest must be an ARGUMENT: closing over params bakes them
+    def run(a0, rest, n):  # into the HLO and overflows the remote compiler
+        def body(i, carry):
+            a0, acc = carry
+            out = op(a0, *rest)
+            s = sum(jnp.sum(x).astype(jnp.float32) for x in jax.tree.leaves(out))
+            acc = acc + s
+            a0 = a0 + (acc * 1e-30).astype(a0.dtype)
+            return (a0, acc)
+
+        _, acc = lax.fori_loop(0, n, body, (a0, jnp.float32(0)))
+        return acc
+
+    def timed(n):
+        t0 = time.perf_counter()
+        float(run(feedback_arg, rest_args, n))
+        return time.perf_counter() - t0
+
+    timed(n1)  # compile + warm
+    t1 = min(timed(n1) for _ in range(2))
+    t2 = min(timed(n2) for _ in range(2))
+    return (t2 - t1) / (n2 - n1) * 1000
+
+
+def bench_inference(h, w, batch, dtype, n1, n2):
     from flownet2_tpu.models import flownet2_apply, flownet2_init
-
-    on_tpu = jax.devices()[0].platform != "cpu"
-    batch = 8 if on_tpu else 1
-    dtype = jnp.bfloat16 if on_tpu else jnp.float32
 
     params = flownet2_init(jax.random.PRNGKey(0), dtype=dtype)
     rng = np.random.default_rng(0)
-    img0 = jnp.asarray(rng.uniform(0, 255, (batch, H, W, 3)), dtype)
-    img1 = jnp.asarray(rng.uniform(0, 255, (batch, H, W, 3)), dtype)
+    img0 = jnp.asarray(rng.uniform(0, 255, (batch, h, w, 3)), dtype)
+    img1 = jnp.asarray(rng.uniform(0, 255, (batch, h, w, 3)), dtype)
+    ms = chain_ms(lambda a, p, b: flownet2_apply(p, a, b), img0, (params, img1), n1, n2)
+    return batch / (ms / 1000)
 
-    fwd = jax.jit(flownet2_apply)
-    # warmup / compile
-    jax.block_until_ready(fwd(params, img0, img1))
 
-    n_iters = 20 if on_tpu else 3
-    t0 = time.perf_counter()
-    for _ in range(n_iters):
-        out = fwd(params, img0, img1)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
+def bench_train(h, w, batch, n1, n2):
+    """FlowNetC train step (fwd+bwd+update), bf16 compute / f32 master."""
+    import optax
 
-    pairs_per_sec = n_iters * batch / dt
+    from flownet2_tpu.models.flownet_c import flownet_c_init
+    from flownet2_tpu.train.objectives import flownet_c_loss, with_compute_dtype
+
+    params = flownet_c_init(jax.random.PRNGKey(0))
+    tx = optax.sgd(1e-4, momentum=0.9)
+    opt_state = tx.init(params)
+    loss_fn = with_compute_dtype(flownet_c_loss, jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    img0 = jnp.asarray(rng.uniform(0, 255, (batch, h, w, 3)), jnp.float32)
+    img1 = jnp.asarray(rng.uniform(0, 255, (batch, h, w, 3)), jnp.float32)
+    flow = jnp.asarray(rng.uniform(-20, 20, (batch, h, w, 2)), jnp.float32)
+
+    def step(img0, params, opt_state, img1, flow):
+        batch_d = {"img0": img0, "img1": img1, "flow": flow}
+        (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(params, batch_d)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    # chain on params/opt_state through the loop for true dependence
+    @jax.jit
+    def run(img0, params, opt_state, img1, flow, n):
+        def body(i, carry):
+            img0c, params, opt_state, acc = carry
+            params, opt_state, loss = step(img0c, params, opt_state, img1, flow)
+            return (img0c + (loss * 1e-30).astype(img0c.dtype), params, opt_state, acc + loss)
+
+        _, _, _, acc = lax.fori_loop(0, n, body, (img0, params, opt_state, jnp.float32(0)))
+        return acc
+
+    def timed(n):
+        t0 = time.perf_counter()
+        float(run(img0, params, opt_state, img1, flow, n))
+        return time.perf_counter() - t0
+
+    timed(n1)
+    t1 = min(timed(n1) for _ in range(2))
+    t2 = min(timed(n2) for _ in range(2))
+    ms = (t2 - t1) / (n2 - n1) * 1000
+    return batch / (ms / 1000)
+
+
+def main():
+    on_tpu = jax.devices()[0].platform != "cpu"
+    dtype = jnp.bfloat16 if on_tpu else jnp.float32
+    if on_tpu:
+        main_pps = bench_inference(320, 448, 8, dtype, 3, 13)
+        sintel_pps = bench_inference(448, 1024, 4, dtype, 3, 13)
+        train_pps = bench_train(320, 448, 8, 3, 13)
+        extra = {
+            "sintel_1024x448_pairs_per_sec": round(sintel_pps, 2),
+            "train_flownetc_448x320_pairs_per_sec": round(train_pps, 2),
+            "sintel_vs_baseline": round(sintel_pps / REF_PAIRS_PER_SEC, 2),
+        }
+    else:  # CPU smoke mode
+        main_pps = bench_inference(64, 96, 1, dtype, 1, 3)
+        extra = {}
+
     print(
         json.dumps(
             {
                 "metric": "flownet2_448x320_pairs_per_sec",
-                "value": round(pairs_per_sec, 2),
+                "value": round(main_pps, 2),
                 "unit": "pairs/s",
-                "vs_baseline": round(pairs_per_sec / REF_PAIRS_PER_SEC, 2),
+                "vs_baseline": round(main_pps / REF_PAIRS_PER_SEC, 2),
+                "extra": extra,
             }
         )
     )

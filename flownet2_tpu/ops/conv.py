@@ -40,13 +40,18 @@ def conv2d(
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
         w = w.astype(compute_dtype)
+    # bf16 convs output bf16 (the MXU still accumulates f32 internally);
+    # requesting an f32 output here breaks reverse-mode under mixed
+    # precision — the transposed conv then sees an f32 cotangent against
+    # bf16 operands, which lax.conv_general_dilated rejects.
+    pet = jnp.float32 if x.dtype == jnp.float32 else None
     out = lax.conv_general_dilated(
         x,
         w,
         window_strides=(stride, stride),
         padding=((padding, padding), (padding, padding)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=pet,
     )
     if b is not None:
         out = out + b.astype(out.dtype)
@@ -81,6 +86,7 @@ def deconv2d(
     # Flip spatial dims and swap in/out channels: transposed conv == conv with
     # lhs_dilation=stride and effective padding (k - 1 - p).
     w_flipped = jnp.flip(w, axis=(0, 1)).transpose(0, 1, 3, 2)  # (kh,kw,Cin,Cout)
+    pet = jnp.float32 if x.dtype == jnp.float32 else None  # see conv2d
     out = lax.conv_general_dilated(
         x,
         w_flipped,
@@ -88,7 +94,7 @@ def deconv2d(
         padding=((kh - 1 - padding, kh - 1 - padding), (kw - 1 - padding, kw - 1 - padding)),
         lhs_dilation=(stride, stride),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=pet,
     )
     if b is not None:
         out = out + b.astype(out.dtype)
@@ -148,13 +154,14 @@ def deconv2d_ps(
     )  # (2, 2, Cout, Cin, 4)
     w_ps = jnp.transpose(w_ps, (0, 1, 3, 4, 2)).reshape(2, 2, cin, 4 * cout)
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    pet = jnp.float32 if xp.dtype == jnp.float32 else None  # see conv2d
     co = lax.conv_general_dilated(
         xp,
         w_ps,
         window_strides=(1, 1),
         padding="VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=pet,
     )  # (N, H+1, W+1, 4*Cout)
     co = co.reshape(n, h + 1, ww_ + 1, 2, 2, cout)
     # phase (di,dj) output m uses conv position m+di (window shift)

@@ -150,7 +150,7 @@ def conv2d_s2d(
         out = lax.conv_general_dilated(
             xp, wm, (1, 1), "VALID",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.float32 if x2.dtype == jnp.float32 else None,
         )  # (B, H2 + 2p - wk + 1, ...) = (B, H2 + (1 - shift) - 1 + shift, ...)
         out = out[:, :h2, :w2_]
         if b is not None:
@@ -182,7 +182,7 @@ def conv2d_s2d(
                 o = lax.conv_general_dilated(
                     x2, wp_, (1, 1), (pad_y, pad_x),
                     dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                    preferred_element_type=jnp.float32,
+                    preferred_element_type=jnp.float32 if x2.dtype == jnp.float32 else None,
                 )
                 if b is not None:
                     o = o + b.astype(o.dtype)
@@ -195,7 +195,7 @@ def conv2d_s2d(
     co = lax.conv_general_dilated(
         xp, wm, (1, 1), "VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=jnp.float32 if x2.dtype == jnp.float32 else None,
     ).reshape(n, h2 + shift, w2_ + shift, 4, cout)
     phases = []
     for di in range(2):
@@ -245,7 +245,7 @@ def deconv2d_s2d(
             o = lax.conv_general_dilated(
                 x, wp_, (1, 1), ((1 - di, di), (1 - dj, dj)),
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                preferred_element_type=jnp.float32,
+                preferred_element_type=jnp.float32 if x.dtype == jnp.float32 else None,
             )
             if b is not None:
                 o = o + b.astype(o.dtype)

@@ -25,10 +25,36 @@ from flownet2_tpu.ops.losses import multiscale_l1_loss
 
 
 def _batch_views(batch: dict):
-    img0 = batch["img0"].astype(jnp.float32)
-    img1 = batch["img1"].astype(jnp.float32)
-    flow = batch["flow"].astype(jnp.float32)
-    return img0, img1, flow
+    # Images keep their floating dtype (a bf16 batch trains the bf16 fast
+    # paths; see with_compute_dtype); integer-coded batches upcast to f32.
+    # Flow targets are always f32 — every loss accumulates in f32.
+    def as_float(x):
+        return x if jnp.issubdtype(x.dtype, jnp.floating) else x.astype(jnp.float32)
+
+    return as_float(batch["img0"]), as_float(batch["img1"]), batch["flow"].astype(jnp.float32)
+
+
+def with_compute_dtype(loss_fn, dtype):
+    """Mixed-precision wrapper: run the network in ``dtype`` (e.g. bf16 —
+    activations AND a cast copy of the weights) while the optimizer keeps
+    f32 master params; gradients return in f32 via the cast's transpose.
+    ``dtype=None`` is the identity."""
+    if dtype is None:
+        return loss_fn
+    dtype = jnp.dtype(dtype)
+
+    def cast(x):
+        return x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x
+
+    def wrapped(params, batch):
+        p = jax.tree.map(cast, params)
+        b = dict(batch)
+        for k in ("img0", "img1"):
+            if k in b:
+                b[k] = cast(b[k])
+        return loss_fn(p, b)
+
+    return wrapped
 
 
 def flownet_s_loss(params: dict, batch: dict) -> tuple[jnp.ndarray, dict]:
