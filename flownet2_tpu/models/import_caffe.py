@@ -272,22 +272,63 @@ _SUBNET_PREFIXES = {
     "fusion": ("fuse_", "netfusion_"),
 }
 
+# Input-facing layers of each subnet and how many leading 3-channel image
+# slots their input stacks carry (BGR↔RGB flips): the C net's siamese conv1
+# sees one image; the S refinement stages see [img0, img1, warped] (then
+# flow+err channels); SD sees the img0|img1 stack; fusion sees img0 then
+# flow/magnitude channels.
+_CASCADE_BGR = {
+    "flownetc": {"conv1": 1},
+    "flownets_1": {"conv1": 3},
+    "flownets_2": {"conv1": 3},
+    "flownetsd": {"conv0": 2},
+    "fusion": {"conv0": 1},
+}
+
+
+def parse_caffemodel_h5(path_or_bytes) -> list[CaffeLayer]:
+    """Parse a ``.caffemodel.h5`` (net.cpp ToHDF5 layout: ``/data/<layer>/
+    <blob_index>``) into CaffeLayer records, using the pure-Python HDF5
+    subset reader (core/hdf5_lite.py — h5py is not available here).
+
+    HDF5 stores no layer types; Convolution vs Deconvolution is inferred
+    from the FlowNet naming convention (deconv*/upsample_flow* substrings),
+    which holds across all released FlowNet2 nets.
+    """
+    from flownet2_tpu.core.hdf5_lite import read_hdf5
+
+    tree = read_hdf5(path_or_bytes)
+    data = tree.get("data", tree)
+    layers: list[CaffeLayer] = []
+    for lname, blobs in data.items():
+        if not isinstance(blobs, dict):
+            continue
+        ordered = sorted(blobs.items(), key=lambda kv: int(kv[0]))
+        bs = [
+            CaffeBlob(tuple(arr.shape), np.asarray(arr, np.float32).reshape(-1))
+            for _, arr in ordered
+        ]
+        ltype = (
+            "Deconvolution"
+            if ("deconv" in lname or "upsample_flow" in lname)
+            else "Convolution"
+        )
+        layers.append(CaffeLayer(lname, ltype, bs))
+    return layers
+
 
 def import_caffemodel(path: str, model: str) -> dict:
     """Import a reference caffemodel for the given model name.
 
     For single nets (flownets/flownetc/flownet2-sd) layer names map 1:1 to
     our param keys. For cascades, layers are routed to subnets by name
-    prefix. Import of HDF5 (.h5) weights requires h5py and is gated.
+    prefix. Both binaryproto ``.caffemodel`` and HDF5 ``.caffemodel.h5``
+    (net.cpp:805-885) are supported.
     """
     if path.endswith(".h5"):
-        try:
-            import h5py  # type: ignore
-        except ImportError as e:
-            raise RuntimeError(".h5 import requires h5py; convert to .caffemodel") from e
-        raise NotImplementedError("HDF5 caffemodel import lands with real-model validation")
-
-    layers = parse_caffemodel(path)
+        layers = parse_caffemodel_h5(path)
+    else:
+        layers = parse_caffemodel(path)
     if model in ("flownets", "flownetc", "flownet2-sd"):
         bgr = {"conv1": 2 if model == "flownets" else 1, "conv0": 2}
         return layers_to_params(layers, bgr_slots=bgr)
@@ -302,11 +343,15 @@ def import_caffemodel(path: str, model: str) -> dict:
                     sub_layers = [
                         CaffeLayer(layer.name[len(pre) :], layer.type, layer.blobs)
                     ]
-                    params[subnet].update(layers_to_params(sub_layers))
+                    params[subnet].update(
+                        layers_to_params(sub_layers, bgr_slots=_CASCADE_BGR[subnet])
+                    )
                     routed = True
                     break
             if routed:
                 break
         if not routed:
-            params["flownetc"].update(layers_to_params([layer]))
+            params["flownetc"].update(
+                layers_to_params([layer], bgr_slots=_CASCADE_BGR["flownetc"])
+            )
     return params
