@@ -9,19 +9,22 @@ import jax.numpy as jnp
 
 from flownet2_tpu.ops.activations import leaky_relu
 from flownet2_tpu.ops.conv import conv2d, deconv2d, init_conv_params
+from flownet2_tpu.parallel.annotate import constrain_act
 
 
 def conv_block(params: dict, name: str, x: jnp.ndarray, *, stride: int = 1, relu: bool = True) -> jnp.ndarray:
     p = params[name]
     k = p["w"].shape[0]
     out = conv2d(x, p["w"], p["b"], stride=stride, padding=k // 2)
-    return leaky_relu(out) if relu else out
+    out = leaky_relu(out) if relu else out
+    return constrain_act(out)
 
 
 def deconv_block(params: dict, name: str, x: jnp.ndarray, *, relu: bool = True) -> jnp.ndarray:
     p = params[name]
     out = deconv2d(x, p["w"], p["b"], stride=2, padding=1)
-    return leaky_relu(out) if relu else out
+    out = leaky_relu(out) if relu else out
+    return constrain_act(out)
 
 
 class ParamInit:
@@ -83,16 +86,18 @@ def init_refinement_decoder(
     *,
     levels: tuple[int, ...] = (6, 5, 4, 3, 2),
     deconv_channels: dict[int, int] | None = None,
+    pred_channels: int = 2,
 ) -> None:
-    """Parameter shapes for :func:`refinement_decoder`."""
+    """Parameter shapes for :func:`refinement_decoder`. ``pred_channels``:
+    2 for flow, 1 for disparity (DispNet)."""
     if deconv_channels is None:
         deconv_channels = {5: 512, 4: 256, 3: 128, 2: 64}
     top = levels[0]
-    pi.conv(f"predict_flow{top}", 3, feature_channels[top], 2)
+    pi.conv(f"predict_flow{top}", 3, feature_channels[top], pred_channels)
     link_c = feature_channels[top]
     for lvl in levels[1:]:
         dc = deconv_channels[lvl]
         pi.deconv(f"deconv{lvl}", 4, link_c, dc)
-        pi.deconv(f"upsample_flow{lvl + 1}to{lvl}", 4, 2, 2)
-        link_c = feature_channels[lvl] + dc + 2
-        pi.conv(f"predict_flow{lvl}", 3, link_c, 2)
+        pi.deconv(f"upsample_flow{lvl + 1}to{lvl}", 4, pred_channels, pred_channels)
+        link_c = feature_channels[lvl] + dc + pred_channels
+        pi.conv(f"predict_flow{lvl}", 3, link_c, pred_channels)

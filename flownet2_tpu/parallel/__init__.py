@@ -9,8 +9,10 @@ halo-exchange collectives over ICI inside the compiled program. Multi-host
 """
 
 from flownet2_tpu.parallel.mesh import make_mesh, MeshConfig
+from flownet2_tpu.parallel.annotate import activation_sharding, constrain_act
 from flownet2_tpu.parallel.data_parallel import (
     shard_batch,
+    make_dp_train_step,
     make_parallel_train_step,
     replicate,
 )
@@ -18,7 +20,10 @@ from flownet2_tpu.parallel.data_parallel import (
 __all__ = [
     "make_mesh",
     "MeshConfig",
+    "activation_sharding",
+    "constrain_act",
     "shard_batch",
+    "make_dp_train_step",
     "make_parallel_train_step",
     "replicate",
 ]

@@ -14,6 +14,7 @@ from __future__ import annotations
 from typing import Any, Callable
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -24,28 +25,35 @@ def replicate(tree: Any, mesh: Mesh) -> Any:
     return jax.device_put(tree, sharding)
 
 
-def batch_sharding(mesh: Mesh, *, spatial: bool = True) -> NamedSharding:
-    """(N, H, W, C) arrays: batch over 'data', H over 'spatial'."""
-    if spatial and mesh.shape.get("spatial", 1) > 1:
+def batch_sharding(mesh: Mesh, *, spatial: bool = True, ndim: int = 4) -> NamedSharding:
+    """Sharding for one batch leaf: batch dim over 'data'; H (dim 1) over
+    'spatial' for image-shaped (rank>=3) leaves. Small per-item coefficient
+    arrays — e.g. the (N, 6) augmentation affines — stay data-sharded only."""
+    if ndim >= 3 and spatial and mesh.shape.get("spatial", 1) > 1:
         return NamedSharding(mesh, P("data", "spatial"))
     return NamedSharding(mesh, P("data"))
 
 
 def shard_batch(batch: Any, mesh: Mesh, *, spatial: bool = True) -> Any:
-    """Place a host batch (dict of (N,H,W,C) numpy arrays) onto the mesh.
+    """Place a host batch (pytree of (N, ...) numpy arrays) onto the mesh.
 
     Single-process: device_put with a NamedSharding. Multi-host processes
     each hold a slice of the global batch and should use
     jax.make_array_from_process_local_data (same sharding), which this
     falls through to when jax.process_count() > 1.
     """
-    sharding = batch_sharding(mesh, spatial=spatial)
+
+    def leaf_sharding(x):
+        return batch_sharding(mesh, spatial=spatial, ndim=np.ndim(x))
+
     if jax.process_count() > 1:  # pragma: no cover - needs multi-host
         return jax.tree.map(
-            lambda x: jax.make_array_from_process_local_data(sharding, np.asarray(x)),
+            lambda x: jax.make_array_from_process_local_data(
+                leaf_sharding(x), np.asarray(x)
+            ),
             batch,
         )
-    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+    return jax.tree.map(lambda x: jax.device_put(x, leaf_sharding(x)), batch)
 
 
 def make_parallel_train_step(
@@ -59,14 +67,98 @@ def make_parallel_train_step(
     ``train_step(state, batch) -> (state, loss, aux)`` — the output of
     flownet2_tpu.train.solver.make_train_step (unjitted). Params/opt state
     are replicated; batches are sharded over (data[, spatial]); XLA inserts
-    the gradient all-reduce.
+    the gradient all-reduce. The step body runs under
+    :func:`~flownet2_tpu.parallel.annotate.activation_sharding`, so model
+    activations carry explicit layout constraints (no SPMD guessing on the
+    coarse decoder scales).
     """
-    repl = NamedSharding(mesh, P())
-    bsh = batch_sharding(mesh, spatial=spatial)
+    from flownet2_tpu.parallel.annotate import activation_sharding
 
-    return jax.jit(
-        train_step,
-        in_shardings=(repl, bsh),
-        out_shardings=(repl, repl, repl),
-        donate_argnums=0,
-    )
+    repl = NamedSharding(mesh, P())
+
+    def wrapped(state, batch):
+        state = jax.lax.with_sharding_constraint(state, repl)
+        batch = jax.tree.map(
+            lambda x: jax.lax.with_sharding_constraint(
+                x, batch_sharding(mesh, spatial=spatial, ndim=x.ndim)
+            ),
+            batch,
+        )
+        with activation_sharding(mesh):
+            return train_step(state, batch)
+
+    return jax.jit(wrapped, out_shardings=(repl, repl, repl), donate_argnums=0)
+
+
+def make_dp_train_step(loss_fn, tx, mesh: Mesh) -> Callable:
+    """Pure data-parallel train step with ONE fused gradient all-reduce.
+
+    GSPMD inserts one psum per parameter gradient (~175 for the FlowNet2
+    cascade); on backends without an all-reduce combiner every one of those
+    is a separate collective rendezvous. This builder is the reference's
+    ``GPUParams`` design reborn (parallel.cpp:26-56 flattens ALL learnables
+    into one contiguous buffer so P2PSync reduces a single span): inside
+    ``shard_map`` each device computes gradients on its batch shard, the
+    gradient pytree is raveled into one flat vector, a SINGLE
+    ``lax.psum`` crosses the mesh, and the optimizer update runs on the
+    replicated result. Batch-only sharding (no spatial axis: each device
+    holds whole images, so no conv halos are needed and the body is
+    embarrassingly parallel up to the one collective).
+
+    ``loss_fn(params, batch) -> (scalar_loss, aux_dict)``; aux entries are
+    pmean'd across devices. Returns ``step(state, batch) -> (state, loss,
+    aux)`` jitted for the mesh, equivalent to the unsharded step up to
+    mean-of-means == global-mean (equal shard sizes).
+    """
+    from jax.flatten_util import ravel_pytree
+
+    import optax
+
+    repl = NamedSharding(mesh, P())
+    # batch shards vary over 'data' only; any other mesh axes see replicas
+    # (pure-DP contract), so the collective crosses just the data axis.
+    axes = ("data",)
+    n_dev = mesh.shape["data"]
+
+    # Autodiff subtlety that makes the flat buffer essential: inside
+    # shard_map, the transpose of invarying(replicated)→varying dataflow
+    # inserts a psum at every point replicated params enter the varying
+    # computation — differentiating wrt the params PYTREE therefore emits
+    # one collective PER PARAMETER (the very storm this builder removes).
+    # Raveling params to ONE flat vector and marking it varying (pvary) at
+    # a single point gives a transpose with exactly ONE psum.
+    def local_grads(flat_params, unravel, batch):
+        def loss_of_flat(fv):
+            fv = jax.lax.pcast(fv, axes, to="varying")  # transpose: the ONE psum
+            return loss_fn(unravel(fv), batch)
+
+        (loss, aux), gflat = jax.value_and_grad(loss_of_flat, has_aux=True)(
+            flat_params
+        )
+        gflat = gflat / n_dev  # psum'd sum of per-shard grads → mean
+        # bundle the scalar stats into one small collective too
+        aux_flat, aux_unravel = ravel_pytree(aux)
+        stats = jnp.concatenate([loss[None].astype(jnp.float32), aux_flat])
+        stats = jax.lax.psum(stats, axes) / n_dev
+        return gflat, stats[0], aux_unravel(stats[1:])
+
+    def step(state, batch):
+        batch_specs = jax.tree.map(
+            lambda x: P("data") if getattr(x, "ndim", 0) >= 1 else P(), batch
+        )
+        flat_params, unravel = ravel_pytree(state.params)
+        gflat, loss, aux = jax.shard_map(
+            lambda fp, b: local_grads(fp, unravel, b),
+            mesh=mesh,
+            in_specs=(P(), batch_specs),
+            out_specs=P(),
+        )(flat_params, batch)
+        grads = unravel(gflat)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            params=params, opt_state=opt_state, iteration=state.iteration + 1
+        )
+        return new_state, loss, aux
+
+    return jax.jit(step, out_shardings=(repl, repl, repl), donate_argnums=0)

@@ -124,6 +124,37 @@ def flownet_sd_chairssdhom_loss(
     return total, {"loss": total, **per_scale}
 
 
+def dispnet_c_loss(params: dict, batch: dict) -> tuple[jnp.ndarray, dict]:
+    """Stereo objective: multi-scale L1 on 1-channel disparity
+    (batch: img0=left, img1=right, flow=(N,H,W,1) disparity; the
+    DisparityData convention, disparity_data_layer.cpp:29). Targets are
+    normalized by DIV_FLOW like the flow nets."""
+    from flownet2_tpu.models.dispnet import dispnet_c_apply
+
+    img0, img1, disp = _batch_views(batch)
+    x0, x1 = normalize_images(img0, img1)
+    preds = dispnet_c_apply(params, x0, x1)
+    total, per_scale = multiscale_l1_loss(preds, disp / DIV_FLOW)
+    return total, {"loss": total, **per_scale}
+
+
+def flownet2_loss(params: dict, batch: dict) -> tuple[jnp.ndarray, dict]:
+    """Joint objective on the FULL cascade: EPE of the fused final flow.
+
+    The reference trains the stacked nets stage-wise (see
+    :func:`make_cascade_stage_loss`); this joint loss exists for end-to-end
+    finetuning and for validating the whole cascade — warp, correlation,
+    SD branch, fusion — under one sharded train step (the multichip dryrun).
+    """
+    from flownet2_tpu.models import flownet2_apply
+    from flownet2_tpu.ops.losses import l1_loss
+
+    img0, img1, flow = _batch_views(batch)
+    pred = flownet2_apply(params, img0, img1)
+    loss = l1_loss(pred, flow, l2_per_location=True)
+    return loss, {"loss": loss}
+
+
 def make_cascade_stage_loss(stage: str) -> Callable:
     """Training objective for a cascade refinement stage (S1/S2) with the
     upstream nets frozen — the FlowNet2 stage-wise training recipe (paper §4;
@@ -159,6 +190,7 @@ def make_cascade_stage_loss(stage: str) -> Callable:
 LOSSES: dict[str, Callable] = {
     "flownets": flownet_s_loss,
     "flownetc": flownet_c_loss,
+    "dispnetc": dispnet_c_loss,
     "flownet2-sd": flownet_sd_loss,
     "flownet2-sd-sdhom": flownet_sd_chairssdhom_loss,
     "flownet2-s1": make_cascade_stage_loss("flownets_1"),
