@@ -11,6 +11,7 @@ cited at reference README.md:15-22) and the released deploy templates; the
 prototxts themselves are not in the reference tree (models/download-models.sh).
 """
 
+from flownet2_tpu.models.dispnet import dispnet_c_init, dispnet_c_apply
 from flownet2_tpu.models.flownet_s import flownet_s_init, flownet_s_apply
 from flownet2_tpu.models.flownet_c import flownet_c_init, flownet_c_apply
 from flownet2_tpu.models.flownet_sd import flownet_sd_init, flownet_sd_apply
@@ -25,6 +26,8 @@ from flownet2_tpu.models.flownet2 import (
 )
 
 __all__ = [
+    "dispnet_c_init",
+    "dispnet_c_apply",
     "flownet_s_init",
     "flownet_s_apply",
     "flownet_c_init",

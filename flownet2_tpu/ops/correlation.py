@@ -472,6 +472,133 @@ def correlation_auto(
     )
 
 
+# ---------------------------------------------------------------------------
+# 1-D (stereo) correlation: MXU formulation + hand VJP.
+#
+# With k=1/s1=1/pad=md the 1-D op is the selmm structure with NO vertical
+# displacement loop: one channel-contraction matmul per image row and one
+# constant one-hot band-selection matmul, and the backward is their two
+# transposes — df2 needs no shift-accumulation at all (dy=0), so unlike the
+# 2-D case no row-block scan is required. This is the hand-derived VJP the
+# 2-D op got in round 1 (the reference hand-writes the same transposes as
+# inverted-displacement kernels, correlation_layer1d.cu); autodiff through
+# the displacement scan measured ~3× slower in 2-D training.
+# ---------------------------------------------------------------------------
+
+
+def _corr1d_geometry(md: int, stride2: int, single_direction: int):
+    gr = md // stride2
+    if single_direction != 0:
+        gw = gr + 1
+        x_shift = -gr if single_direction < 0 else 0
+    else:
+        gw = 2 * gr + 1
+        x_shift = -gr
+    off0 = md + x_shift * stride2  # f2p column of j=0 at output x=0
+    return gw, off0
+
+
+def _corr1d_selmm_fwd(f1, f2, *, md: int, stride2: int, single_direction: int):
+    n, h, w, c = f1.shape
+    gw, off0 = _corr1d_geometry(md, stride2, single_direction)
+    wp = w + 2 * md
+    f1, f2 = lax.optimization_barrier((f1, f2))
+    f2p = jnp.pad(f2, ((0, 0), (0, 0), (md, md), (0, 0)))
+    f32 = f1.dtype == jnp.float32
+    prec = lax.Precision.HIGHEST if f32 else None
+    mdtype = jnp.float32 if f32 else jnp.bfloat16
+    s = _sel_tensor(w, wp, gw, off0, stride2, mdtype)
+    m = jnp.einsum(
+        "byxc,byvc->byxv", f1, f2p,
+        preferred_element_type=jnp.float32, precision=prec,
+    ).astype(mdtype)
+    out = jnp.einsum(
+        "byxv,xvj->byxj", m, s,
+        preferred_element_type=jnp.float32, precision=prec,
+    )
+    out = (out / c).astype(f1.dtype)
+    return lax.optimization_barrier(out)
+
+
+def _corr1d_selmm_bwd(f1, f2, g, *, md: int, stride2: int, single_direction: int):
+    n, h, w, c = f1.shape
+    gw, off0 = _corr1d_geometry(md, stride2, single_direction)
+    wp = w + 2 * md
+    f32 = f1.dtype == jnp.float32
+    prec = lax.Precision.HIGHEST if f32 else None
+    mdtype = jnp.float32 if f32 else jnp.bfloat16
+    s = _sel_tensor(w, wp, gw, off0, stride2, mdtype)
+    g = lax.optimization_barrier(g).astype(mdtype)
+    f2p = jnp.pad(f2, ((0, 0), (0, 0), (md, md), (0, 0)))
+    dm = jnp.einsum(
+        "byxj,xvj->byxv", g, s,
+        preferred_element_type=jnp.float32, precision=prec,
+    ).astype(mdtype)
+    df1 = jnp.einsum(
+        "byxv,byvc->byxc", dm, f2p,
+        preferred_element_type=jnp.float32, precision=prec,
+    )
+    df2p = jnp.einsum(
+        "byxv,byxc->byvc", dm, f1,
+        preferred_element_type=jnp.float32, precision=prec,
+    )
+    df2 = lax.slice(df2p, (0, 0, md, 0), (n, h, md + w, c))
+    inv_norm = 1.0 / c
+    return lax.optimization_barrier(
+        ((df1 * inv_norm).astype(f1.dtype), (df2 * inv_norm).astype(f2.dtype))
+    )
+
+
+@lru_cache(maxsize=None)
+def _make_fast_correlation_1d(md: int, stride2: int, single_direction: int):
+    """custom-VJP 1-D correlation for the DispNet config (k=1, s1=1, pad=md)."""
+
+    @jax.custom_vjp
+    def fast(f1, f2):
+        return _corr1d_selmm_fwd(
+            f1, f2, md=md, stride2=stride2, single_direction=single_direction
+        )
+
+    def fwd(f1, f2):
+        return fast(f1, f2), (f1, f2)
+
+    def bwd(res, g):
+        f1, f2 = res
+        return _corr1d_selmm_bwd(
+            f1, f2, g, md=md, stride2=stride2, single_direction=single_direction
+        )
+
+    fast.defvjp(fwd, bwd)
+    return fast
+
+
+def correlation_1d_auto(
+    f1: jnp.ndarray,
+    f2: jnp.ndarray,
+    *,
+    max_displacement: int,
+    kernel_size: int = 1,
+    stride1: int = 1,
+    stride2: int = 1,
+    pad: int = 0,
+    single_direction: int = 0,
+    multiply: bool = True,
+    do_abs: bool = False,
+) -> jnp.ndarray:
+    """Dispatch to the custom-VJP MXU path for the DispNet config, general
+    scan path otherwise (mirrors correlation_auto)."""
+    if multiply and kernel_size == 1 and stride1 == 1 and pad == max_displacement:
+        return _make_fast_correlation_1d(max_displacement, stride2, single_direction)(
+            f1, f2
+        )
+    return correlation_1d(
+        f1, f2,
+        max_displacement=max_displacement, kernel_size=kernel_size,
+        stride1=stride1, stride2=stride2, pad=pad,
+        single_direction=single_direction, multiply=multiply, do_abs=do_abs,
+    )
+
+
 @partial(
     jax.jit,
     static_argnames=(

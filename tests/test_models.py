@@ -113,3 +113,33 @@ def test_model_registry():
         "flownet2-css",
         "flownet2",
     }
+
+
+def test_dispnet_c_scales_and_training(rng):
+    """DispNetC end to end: 1-channel disparity predictions at strides
+    64..4 (the stereo path the reference ships only as layers —
+    correlation_layer1d, disparity_data_layer)."""
+    from flownet2_tpu.models import dispnet_c_init, dispnet_c_apply
+    from flownet2_tpu.train.objectives import dispnet_c_loss
+
+    params = dispnet_c_init(jax.random.PRNGKey(0))
+    h, w = 64, 128
+    left = jnp.asarray(rng.uniform(-1, 1, (1, h, w, 3)), jnp.float32)
+    right = jnp.asarray(rng.uniform(-1, 1, (1, h, w, 3)), jnp.float32)
+    preds = jax.jit(dispnet_c_apply)(params, left, right)
+    for lvl in (6, 5, 4, 3, 2):
+        s = 2 ** lvl
+        assert preds[f"flow{lvl}"].shape == (1, h // s, w // s, 1)
+
+    batch = {
+        "img0": rng.uniform(0, 255, (1, h, w, 3)).astype(np.float32),
+        "img1": rng.uniform(0, 255, (1, h, w, 3)).astype(np.float32),
+        "flow": rng.uniform(-30, 0, (1, h, w, 1)).astype(np.float32),
+    }
+    (loss, aux), grads = jax.jit(
+        jax.value_and_grad(dispnet_c_loss, has_aux=True)
+    )(params, batch)
+    assert np.isfinite(float(loss))
+    gnorms = [float(jnp.sum(jnp.abs(g))) for g in jax.tree.leaves(grads)]
+    assert all(np.isfinite(g) for g in gnorms)
+    assert sum(gnorms) > 0  # gradients reach the siamese towers through corr1d

@@ -274,3 +274,59 @@ class TestCorrelationCustomVjp:
         gb = jax.grad(lambda i, f: jnp.vdot(flow_warp_onehot(i, f), g), argnums=(0, 1))(img, flow)
         np.testing.assert_allclose(np.asarray(ga[0]), np.asarray(gb[0]), atol=3e-2, rtol=3e-2)
         np.testing.assert_allclose(np.asarray(ga[1]), np.asarray(gb[1]), atol=3e-2, rtol=3e-2)
+
+
+class TestCorrelation1DFast:
+    """MXU banded-matmul 1-D correlation + hand VJP (correlation_1d_auto)."""
+
+    @pytest.mark.parametrize("single_direction", [-1, 0, 1])
+    def test_matches_scan_path(self, rng, single_direction):
+        from flownet2_tpu.ops.correlation import correlation_1d_auto
+
+        f1 = rng.standard_normal((2, 6, 16, 5)).astype(np.float32)
+        f2 = rng.standard_normal((2, 6, 16, 5)).astype(np.float32)
+        kw = dict(max_displacement=4, kernel_size=1, stride1=1, pad=4,
+                  single_direction=single_direction)
+        fast = np.asarray(correlation_1d_auto(jnp.asarray(f1), jnp.asarray(f2), **kw))
+        ref = np.asarray(correlation_1d(jnp.asarray(f1), jnp.asarray(f2), **kw))
+        np.testing.assert_allclose(fast, ref, rtol=1e-5, atol=1e-6)
+
+    @pytest.mark.parametrize("single_direction", [-1, 0])
+    def test_hand_vjp_matches_autodiff(self, rng, single_direction):
+        from flownet2_tpu.ops.correlation import correlation_1d_auto
+
+        f1 = jnp.asarray(rng.standard_normal((1, 4, 12, 3)), jnp.float32)
+        f2 = jnp.asarray(rng.standard_normal((1, 4, 12, 3)), jnp.float32)
+        kw = dict(max_displacement=3, pad=3, single_direction=single_direction)
+
+        def loss_fast(a, b):
+            out = correlation_1d_auto(a, b, **kw)
+            return jnp.sum(out * out)
+
+        def loss_ref(a, b):
+            out = correlation_1d(
+                a, b, max_displacement=3, kernel_size=1, stride1=1, pad=3,
+                single_direction=single_direction,
+            )
+            return jnp.sum(out * out)
+
+        g_fast = jax.grad(loss_fast, argnums=(0, 1))(f1, f2)
+        g_ref = jax.grad(loss_ref, argnums=(0, 1))(f1, f2)
+        for a, b in zip(g_fast, g_ref):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+    def test_gradcheck(self, rng):
+        from flownet2_tpu.ops.correlation import correlation_1d_auto
+
+        f1 = jnp.asarray(rng.standard_normal((1, 3, 10, 2)), jnp.float32)
+        f2 = jnp.asarray(rng.standard_normal((1, 3, 10, 2)), jnp.float32)
+        jax.test_util.check_grads(
+            lambda a, b: correlation_1d_auto(
+                a, b, max_displacement=2, pad=2, single_direction=-1
+            ),
+            (f1, f2),
+            order=1,
+            modes=["rev"],
+            atol=1e-2,
+            rtol=1e-2,
+        )
