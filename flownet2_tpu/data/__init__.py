@@ -1,9 +1,11 @@
-"""Data pipeline: LMDB-free streaming datasets + prefetching loader.
+"""Data pipeline: streaming datasets + prefetching loader.
 
 Replaces the reference's LMDB path (DataReader/CustomData,
 SURVEY.md §2.1/§2.2) with direct file streaming plus an optional packed
 record format that keeps the reference's exact datum encoding (uint8 images,
-int16 ×32 fixed-point flow, bit-packed occlusions).
+int16 ×32 fixed-point flow, bit-packed occlusions). Existing reference-
+packed LMDBs remain drop-in readable via the pure-Python shim in
+flownet2_tpu.data.lmdb (no liblmdb needed).
 """
 
 from flownet2_tpu.data.datasets import (
@@ -13,6 +15,7 @@ from flownet2_tpu.data.datasets import (
     ChairsSDHom,
     open_dataset,
 )
+from flownet2_tpu.data.lmdb import LmdbFlowDataset, LmdbReader
 from flownet2_tpu.data.records import FlowRecordReader, FlowRecordWriter
 from flownet2_tpu.data.pipeline import BatchLoader
 
@@ -22,6 +25,8 @@ __all__ = [
     "FlyingThings3D",
     "ChairsSDHom",
     "open_dataset",
+    "LmdbFlowDataset",
+    "LmdbReader",
     "FlowRecordReader",
     "FlowRecordWriter",
     "BatchLoader",

@@ -214,6 +214,12 @@ def open_dataset(name: str, root: str, **kw):
         from flownet2_tpu.data.records import FlowRecordReader
 
         return FlowRecordReader(root)
+    if name.lower() == "lmdb" or root.endswith(".mdb") or os.path.exists(
+        os.path.join(root, "data.mdb")
+    ):
+        from flownet2_tpu.data.lmdb import LmdbFlowDataset
+
+        return LmdbFlowDataset(root, **kw)
     try:
         return _FACTORIES[name.lower().replace("_", "")](root, **kw)
     except KeyError:

@@ -1,0 +1,299 @@
+"""LMDB read-compat shim tests.
+
+A tiny standalone LMDB ENCODER lives here (tests only) so the pure-Python
+reader is validated against independently constructed files — the same
+keep-encoder-out-of-the-library discipline as test_import_caffe. The
+encoder writes the standard on-disk structures: meta pages, leaf/branch
+pages with sorted u16 node-pointer arrays, and F_BIGDATA overflow chains.
+"""
+
+import os
+import struct
+
+import numpy as np
+import pytest
+
+from flownet2_tpu.core.codec import encode_flow_int16, encode_occlusion_bits
+from flownet2_tpu.data.lmdb import (
+    BOOL1,
+    FLOW_ENCODINGS,
+    FLOW_SLICE_POINTS,
+    LmdbError,
+    LmdbFlowDataset,
+    LmdbReader,
+    UINT8,
+    UINT16FLOW,
+    decode_custom_datum,
+    parse_datum,
+)
+
+PSIZE = 4096
+PAGEHDRSZ = 16
+P_BRANCH, P_LEAF, P_OVERFLOW, P_META = 0x01, 0x02, 0x04, 0x08
+F_BIGDATA = 0x01
+
+
+# ---------------------------------------------------------------------------
+# minimal LMDB writer (single txn, main DB only)
+# ---------------------------------------------------------------------------
+
+
+def write_lmdb(path, items, *, big_threshold=1500):
+    """items: list of (key: bytes, value: bytes), pre-sorted by key."""
+    pages = {}  # pgno -> bytes
+    next_pg = 2
+
+    def alloc(n=1):
+        nonlocal next_pg
+        pg = next_pg
+        next_pg += n
+        return pg
+
+    def page_header(pgno, flags, lower, upper):
+        return struct.pack("<QHHHH", pgno, 0, flags, lower, upper)
+
+    # place values, build leaf node blobs
+    nodes = []
+    for key, val in items:
+        if len(val) > big_threshold:
+            npages = (PAGEHDRSZ + len(val) + PSIZE - 1) // PSIZE
+            ov = alloc(npages)
+            blob = page_header(ov, P_OVERFLOW, 0, 0)
+            # overflow header stores the page count in pb_pages (offset 12)
+            blob = blob[:12] + struct.pack("<I", npages)
+            raw = blob + val
+            raw += b"\0" * (npages * PSIZE - len(raw))
+            pages[ov] = raw
+            node = struct.pack(
+                "<HHHH", len(val) & 0xFFFF, len(val) >> 16, F_BIGDATA, len(key)
+            ) + key + struct.pack("<Q", ov)
+        else:
+            node = struct.pack(
+                "<HHHH", len(val) & 0xFFFF, len(val) >> 16, 0, len(key)
+            ) + key + val
+        if len(node) % 2:
+            node += b"\0"
+        nodes.append((key, node))
+
+    # pack nodes into leaf pages
+    leaves = []  # (pgno, first_key, [node blobs])
+    cur, cur_sz = [], 0
+    for key, node in nodes:
+        need = len(node) + 2  # node + ptr slot
+        if cur and PAGEHDRSZ + cur_sz + need > PSIZE:
+            leaves.append(cur)
+            cur, cur_sz = [], 0
+        cur.append((key, node))
+        cur_sz += need
+    if cur:
+        leaves.append(cur)
+
+    leaf_pgnos = [alloc() for _ in leaves]
+    for pgno, group in zip(leaf_pgnos, leaves):
+        blobs = [n for _, n in group]
+        lower = PAGEHDRSZ + 2 * len(blobs)
+        offs, pos = [], PSIZE
+        body = bytearray(PSIZE)
+        for blob in blobs:
+            pos -= len(blob)
+            body[pos : pos + len(blob)] = blob
+            offs.append(pos)
+        upper = pos
+        hdr = page_header(pgno, P_LEAF, lower, upper)
+        body[: len(hdr)] = hdr
+        struct.pack_into(f"<{len(offs)}H", body, PAGEHDRSZ, *offs)
+        pages[pgno] = bytes(body)
+
+    depth = 1
+    if len(leaf_pgnos) == 1:
+        root = leaf_pgnos[0]
+    else:  # one branch root over the leaves
+        depth = 2
+        root = alloc()
+        blobs = []
+        for i, (pgno, group) in enumerate(zip(leaf_pgnos, leaves)):
+            key = b"" if i == 0 else group[0][0]
+            node = struct.pack(
+                "<HHHH", pgno & 0xFFFF, (pgno >> 16) & 0xFFFF, (pgno >> 32) & 0xFFFF, len(key)
+            ) + key
+            if len(node) % 2:
+                node += b"\0"
+            blobs.append(node)
+        lower = PAGEHDRSZ + 2 * len(blobs)
+        body = bytearray(PSIZE)
+        offs, pos = [], PSIZE
+        for blob in blobs:
+            pos -= len(blob)
+            body[pos : pos + len(blob)] = blob
+            offs.append(pos)
+        hdr = page_header(root, P_BRANCH, lower, pos)
+        body[: len(hdr)] = hdr
+        struct.pack_into(f"<{len(offs)}H", body, PAGEHDRSZ, *offs)
+        pages[root] = bytes(body)
+
+    def meta_page(pgno, txnid, root_pg, entries):
+        body = bytearray(PSIZE)
+        body[:PAGEHDRSZ] = page_header(pgno, P_META, 0, 0)
+        struct.pack_into("<II", body, PAGEHDRSZ, 0xBEEFC0DE, 1)  # magic, version
+        struct.pack_into("<QQ", body, PAGEHDRSZ + 8, 0, next_pg * PSIZE)
+        # mm_dbs[0] (FREE): md_pad carries the page size
+        struct.pack_into("<IHH", body, PAGEHDRSZ + 24, PSIZE, 0, 0)
+        struct.pack_into("<QQ", body, PAGEHDRSZ + 24 + 32, 0, 0xFFFFFFFFFFFFFFFF)
+        # mm_dbs[1] (MAIN)
+        main = PAGEHDRSZ + 24 + 48
+        struct.pack_into("<IHH", body, main, 0, 0, depth)
+        struct.pack_into("<QQQ", body, main + 8, depth - 1, len(leaf_pgnos), 0)
+        struct.pack_into("<QQ", body, main + 32, entries, root_pg)
+        struct.pack_into("<QQ", body, main + 48, next_pg - 1, txnid)  # last_pg, txnid
+        return bytes(body)
+
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "data.mdb"), "wb") as f:
+        f.write(meta_page(0, 0, 0xFFFFFFFFFFFFFFFF, 0))
+        f.write(meta_page(1, 1, root, len(items)))
+        pos = 2 * PSIZE
+        for pg in sorted(pages):  # multi-page overflow blobs span gaps
+            assert pg * PSIZE >= pos, "page overlap"
+            f.write(b"\0" * (pg * PSIZE - pos))
+            f.write(pages[pg])
+            pos = pg * PSIZE + len(pages[pg])
+
+
+def encode_datum(channels, height, width, data, label=0):
+    """Minimal Datum protobuf encoder (fields caffe.proto Datum)."""
+
+    def varint(v):
+        out = b""
+        while True:
+            b7 = v & 0x7F
+            v >>= 7
+            if v:
+                out += bytes([b7 | 0x80])
+            else:
+                return out + bytes([b7])
+
+    buf = b""
+    buf += bytes([1 << 3]) + varint(channels)
+    buf += bytes([2 << 3]) + varint(height)
+    buf += bytes([3 << 3]) + varint(width)
+    buf += bytes([(4 << 3) | 2]) + varint(len(data)) + data
+    buf += bytes([5 << 3]) + varint(label)
+    return buf
+
+
+def make_flow_datum(rng, h, w, label=0):
+    """Pack one (img0, img1, flow, occ) sample the reference way
+    (convert_imageset_and_flow.cpp:142-206): CHW uint8 BGR images, int16
+    flow x32 with NaN sentinel, bit-packed occlusion."""
+    img0 = rng.integers(0, 255, (3, h, w), np.uint8)
+    img1 = rng.integers(0, 255, (3, h, w), np.uint8)
+    flow = rng.uniform(-10, 10, (h, w, 2)).astype(np.float32)
+    flow[0, 0] = np.nan
+    occ = rng.integers(0, 2, (h, w)).astype(bool)
+    data = img0.tobytes() + img1.tobytes()
+    data += encode_flow_int16(flow).transpose(2, 0, 1).astype("<i2").tobytes()
+    data += encode_occlusion_bits(occ).tobytes()
+    datum = encode_datum(9, h, w, data, label=label)
+    return datum, img0, img1, flow, occ
+
+
+@pytest.fixture()
+def rng():
+    return np.random.default_rng(42)
+
+
+def test_reader_small_and_overflow_values(tmp_path, rng):
+    small = [(b"%07d" % i, bytes([i]) * (50 + i)) for i in range(5)]
+    big = [(b"%07d" % (5 + i), bytes(rng.integers(0, 255, 9000, np.uint8))) for i in range(2)]
+    items = small + big
+    write_lmdb(str(tmp_path / "db"), items)
+    db = LmdbReader(str(tmp_path / "db"))
+    assert len(db) == 7
+    for i, (k, v) in enumerate(items):
+        assert db.key(i) == k
+        assert db.value(i) == v
+
+
+def test_reader_multi_leaf_branch(tmp_path, rng):
+    # ~100 x 150B entries -> several leaf pages under a branch root
+    items = [(b"%07d" % i, bytes(rng.integers(0, 255, 150, np.uint8))) for i in range(100)]
+    write_lmdb(str(tmp_path / "db"), items)
+    db = LmdbReader(str(tmp_path / "db"))
+    assert len(db) == 100
+    assert [k for k, _ in db.items()] == [k for k, _ in items]
+    assert db.value(57) == items[57][1]
+
+
+def test_datum_round_trip():
+    datum = encode_datum(9, 4, 6, b"\x01\x02\x03", label=-1 & 0x7FFFFFFF)
+    out = parse_datum(datum)
+    assert (out["channels"], out["height"], out["width"]) == (9, 4, 6)
+    assert out["data"] == b"\x01\x02\x03"
+
+
+def test_custom_datum_decode(rng):
+    datum_bytes, img0, img1, flow, occ = make_flow_datum(rng, 6, 8)
+    slices = decode_custom_datum(parse_datum(datum_bytes), FLOW_SLICE_POINTS, FLOW_ENCODINGS)
+    np.testing.assert_array_equal(slices[0], img0.astype(np.float32))
+    np.testing.assert_array_equal(slices[1], img1.astype(np.float32))
+    got_flow = np.moveaxis(slices[2], 0, -1)
+    np.testing.assert_allclose(got_flow[1:], flow[1:], atol=1 / 32.0)
+    assert np.isnan(got_flow[0, 0]).all()
+    np.testing.assert_array_equal(slices[3][0] > 0.5, occ)
+
+
+def test_flow_dataset_end_to_end(tmp_path, rng):
+    originals = []
+    items = []
+    for i in range(4):
+        datum, img0, img1, flow, occ = make_flow_datum(rng, 6, 8, label=i % 2)
+        originals.append((img0, img1, flow, occ))
+        items.append((b"%07d" % i, datum))
+    write_lmdb(str(tmp_path / "db"), items)
+
+    ds = LmdbFlowDataset(str(tmp_path / "db"))
+    assert len(ds) == 4
+    item = ds[2]
+    img0, img1, flow, occ = originals[2]
+    # BGR->RGB flip + CHW->HWC
+    np.testing.assert_array_equal(
+        item["img0"], np.moveaxis(img0, 0, -1)[..., ::-1].astype(np.float32)
+    )
+    np.testing.assert_allclose(item["flow"][1:], flow[1:], atol=1 / 32.0)
+    assert item["occ"].shape == (6, 8, 1)
+    assert item["label"] == 0
+
+    # open_dataset integration
+    from flownet2_tpu.data import open_dataset
+
+    ds2 = open_dataset("lmdb", str(tmp_path / "db"))
+    assert len(ds2) == 4
+
+
+def test_permutation_pipeline(tmp_path, rng):
+    items = []
+    for i in range(10):
+        datum, *_ = make_flow_datum(rng, 4, 4, label=i % 3)
+        items.append((b"%07d" % i, datum))
+    write_lmdb(str(tmp_path / "db"), items)
+    ds = LmdbFlowDataset(str(tmp_path / "db"))
+
+    # preselection-by-label (custom_data_layer.cpp:394-416)
+    perm = ds.permutation(preselection_label=1)
+    np.testing.assert_array_equal(perm, [1, 4, 7])
+    # range after permute (FIRST_PERMUTE_THEN_RANGE)
+    perm = ds.permutation(range_start=2, range_end=5)
+    np.testing.assert_array_equal(perm, [2, 3, 4, 5])
+    # seeded shuffle is deterministic and a true permutation
+    p1 = ds.permutation(seed=3, block_size=2)
+    p2 = ds.permutation(seed=3, block_size=2)
+    np.testing.assert_array_equal(p1, p2)
+    assert sorted(p1.tolist()) == list(range(10))
+    # blocks of 2 stay contiguous
+    assert all(p1[i * 2 + 1] == p1[i * 2] + 1 for i in range(5))
+    # range-then-permute order
+    p3 = ds.permutation(seed=3, range_start=0, range_end=3, order="first_range_then_permute")
+    assert sorted(p3.tolist()) == [0, 1, 2, 3]
+    # preselection labels length mismatch
+    with pytest.raises(LmdbError):
+        ds.permutation(preselection_labels=np.zeros(3), preselection_label=0)
