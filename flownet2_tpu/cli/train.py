@@ -42,6 +42,21 @@ def main(argv=None) -> int:
     p.add_argument("--display", type=int, default=100)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--no-augment", action="store_true")
+    p.add_argument(
+        "--recompute-mean", type=int, default=0, metavar="K",
+        help="running-mean window: update a per-pixel mean of the augmented "
+        "images for K iterations, subtract it each step (AugmentationParameter."
+        "recompute_mean, data_augmentation_layer.cu:592-635)",
+    )
+    p.add_argument(
+        "--mean-per-pixel", action="store_true",
+        help="subtract the full per-pixel mean instead of its per-channel average",
+    )
+    p.add_argument(
+        "--write-augmented", default=None, metavar="DIR",
+        help="debug: dump augmented batches + coefficient log to DIR every "
+        "display interval (AugmentationParameter.write_augmented)",
+    )
     args = p.parse_args(argv)
 
     import jax
@@ -77,8 +92,20 @@ def main(argv=None) -> int:
     from flownet2_tpu.data.augment_pipeline import make_augmented_loss
 
     loss_fn = LOSSES[loss_key]
+    means = []
     if not args.no_augment:
-        loss_fn = make_augmented_loss(loss_fn, crop_h, crop_w, seed=args.seed)
+        loss_fn = make_augmented_loss(
+            loss_fn, crop_h, crop_w, seed=args.seed,
+            mean_window=args.recompute_mean, mean_per_pixel=args.mean_per_pixel,
+        )
+        if args.recompute_mean > 0:
+            from flownet2_tpu.data.mean import MeanRecompute
+
+            means = [
+                MeanRecompute(crop_h, crop_w, 3, window=args.recompute_mean,
+                              per_pixel=args.mean_per_pixel)
+                for _ in range(2)
+            ]
 
     params = MODEL_INITS[args.model](jax.random.PRNGKey(args.seed))
     solver = Solver(
@@ -99,7 +126,17 @@ def main(argv=None) -> int:
         solver.restore(args.snapshot)
 
     dataset = open_dataset(args.dataset, args.data_root)
-    transform = None if args.no_augment else make_flownet_augmenter(crop_h, crop_w)
+    base_transform = None if args.no_augment else make_flownet_augmenter(crop_h, crop_w)
+    transform = base_transform
+    last_batch = {}  # most recent augmented batch, for --write-augmented
+    if base_transform is not None and (means or args.write_augmented):
+        def transform(batch, rng, _base=base_transform):  # noqa: E306
+            batch = _base(batch, rng)
+            for m, k in zip(means, ("mean_image0", "mean_image1")):
+                batch = m.attach(batch, key=k)
+            last_batch["batch"] = batch
+            return batch
+
     loader = BatchLoader(
         dataset,
         args.batch,
@@ -111,7 +148,21 @@ def main(argv=None) -> int:
         f"Training {args.model} on {args.dataset} ({len(dataset)} samples), "
         f"{max_iter} iterations, crop {crop_h}x{crop_w}, batch {args.batch}"
     )
-    solver.solve(iter(loader), max_iter=max_iter)
+
+    def on_step(it, loss, aux):
+        for m, k in zip(means, ("aug_batch_mean0", "aug_batch_mean1")):
+            if k in aux:
+                m.update(np.asarray(aux[k]))
+        if args.write_augmented and args.display and it % args.display == 0:
+            from flownet2_tpu.data.augment_pipeline import write_augmented
+
+            batch = last_batch.get("batch")
+            if batch is not None and "aug_mat0" in batch:
+                write_augmented(batch, args.write_augmented, it, crop_h, crop_w)
+            for i, m in enumerate(means):
+                m.write_mean(os.path.join(args.write_augmented, f"mean{i}.float3"))
+
+    solver.solve(iter(loader), max_iter=max_iter, on_step=on_step)
     print(f"Optimization done, final smoothed loss {solver.smoothed_loss:.4f}")
     return 0
 

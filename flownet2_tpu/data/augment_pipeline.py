@@ -151,13 +151,30 @@ def make_flownet_augmenter(
     return transform
 
 
-def apply_augmentation_device(batch: dict, key: jax.Array, crop_h: int, crop_w: int) -> dict:
+def apply_augmentation_device(
+    batch: dict,
+    key: jax.Array,
+    crop_h: int,
+    crop_w: int,
+    *,
+    mean_window: int = 0,
+    mean_per_pixel: bool = False,
+) -> dict:
     """Device-side application (inside the jitted train step).
 
     Consumes the aug_* arrays; returns {img0, img1, flow} at crop
     resolution, images still in the 0-255 range (chromatic ops run in the
     [0,1] domain like the reference training nets, which rescale via an
     Eltwise 1/255 before augmentation).
+
+    Mean handling (recompute_mean / mean_per_pixel / fixed mean,
+    data_augmentation_layer.cu:592-635): when the batch carries
+    ``mean_image0``/``mean_image1`` + ``mean_iter`` (attached by
+    :class:`~flownet2_tpu.data.mean.MeanRecompute`), the running-mean
+    recursion updates and subtracts inside the step and the per-frame batch
+    means come back under ``aug_batch_mean0/1`` for the host mirror. A
+    ``mean_rgb`` batch entry subtracts a fixed per-channel mean instead.
+    Subtraction happens in the [0,1] augmented domain, like the reference.
     """
     img0 = apply_spatial_transform(
         batch["img0"].astype(jnp.float32) / 255.0, batch["aug_mat0"], crop_h, crop_w
@@ -182,15 +199,98 @@ def apply_augmentation_device(batch: dict, key: jax.Array, crop_h: int, crop_w: 
     )
     img0 = apply_gaussian_noise(img0, batch["aug_noise"], k0)
     img1 = apply_gaussian_noise(img1, batch["aug_noise"], k1)
-    return {"img0": img0 * 255.0, "img1": img1 * 255.0, "flow": flow}
+
+    extra = {}
+    if "mean_image0" in batch or "mean_image1" in batch:
+        from flownet2_tpu.data.mean import recompute_mean_and_subtract
+
+        num_iter = batch["mean_iter"]
+        for name, img in (("0", img0), ("1", img1)):
+            if f"mean_image{name}" not in batch:
+                continue
+            img, bm = recompute_mean_and_subtract(
+                img,
+                batch[f"mean_image{name}"],
+                num_iter,
+                window=mean_window,
+                per_pixel=mean_per_pixel,
+            )
+            extra[f"aug_batch_mean{name}"] = bm
+            if name == "0":
+                img0 = img
+            else:
+                img1 = img
+    elif "mean_rgb" in batch:
+        from flownet2_tpu.data.mean import subtract_fixed_mean
+
+        img0 = subtract_fixed_mean(img0, batch["mean_rgb"])
+        img1 = subtract_fixed_mean(img1, batch["mean_rgb"])
+
+    from flownet2_tpu.parallel.annotate import constrain_act
+
+    out = {"img0": img0 * 255.0, "img1": img1 * 255.0, "flow": flow}
+    out = {k: constrain_act(v) for k, v in out.items()}
+    out.update(extra)
+    return out
+
+
+def write_augmented(
+    batch: dict,
+    folder: str,
+    iteration: int,
+    crop_h: int,
+    crop_w: int,
+    *,
+    log: Callable[[str], None] = print,
+) -> list[str]:
+    """The ``write_augmented`` debug option (AugmentationParameter,
+    caffe.proto:492; data_augmentation_layer.cu:413-439): log the sampled
+    coefficients per item and dump the augmented images to disk.
+
+    Runs the augmentation eagerly on the host batch (debug path — not in
+    the train step) and writes ``{folder}/aug0_NNNNNNN(nnn).ppm`` /
+    ``aug1_...`` via the Writer layer analogue. Returns written paths.
+    """
+    import jax as _jax
+
+    from flownet2_tpu.tools.writers import Writer
+
+    n = batch["img0"].shape[0]
+    for i in range(n):
+        m = np.asarray(batch["aug_mat0"][i])
+        log(
+            f"Augmenting {i}, affine0: [{', '.join(f'{v:.4f}' for v in m)}], "
+            f"gamma: {float(batch['aug_gamma'][i]):.4f}, "
+            f"brightness: {float(batch['aug_brightness'][i]):.4f}, "
+            f"contrast: {float(batch['aug_contrast'][i]):.4f}, "
+            f"color: {np.asarray(batch['aug_color'][i]).round(4).tolist()}, "
+            f"noise: {float(batch['aug_noise'][i]):.4f}"
+        )
+    out = apply_augmentation_device(batch, _jax.random.PRNGKey(iteration), crop_h, crop_w)
+    paths = []
+    for name in ("img0", "img1"):
+        w = Writer(folder, kind="img", prefix=f"aug{name[-1]}_")
+        paths += w(np.asarray(out[name]), iteration)
+    return paths
 
 
 def make_augmented_loss(
-    base_loss: Callable, crop_h: int, crop_w: int, seed: int = 0
+    base_loss: Callable,
+    crop_h: int,
+    crop_w: int,
+    seed: int = 0,
+    *,
+    mean_window: int = 0,
+    mean_per_pixel: bool = False,
 ) -> Callable:
     """Wrap a training objective so it applies device augmentation first.
     The noise key derives from a fingerprint of the host-sampled affines
-    (deterministic per batch, varying per step)."""
+    (deterministic per batch, varying per step).
+
+    With ``mean_window > 0`` and a batch carrying MeanRecompute state, the
+    per-frame augmented batch means are surfaced in the aux dict as
+    ``aug_batch_mean0/1`` so the training loop can fold them into its
+    host-side :class:`~flownet2_tpu.data.mean.MeanRecompute` mirrors."""
 
     base_key = jax.random.PRNGKey(seed)
 
@@ -198,7 +298,19 @@ def make_augmented_loss(
         if "aug_mat0" in batch:
             fp = jnp.sum(batch["aug_mat0"]).astype(jnp.float32)
             key = jax.random.fold_in(base_key, jnp.abs(fp * 1e4).astype(jnp.int32))
-            batch = apply_augmentation_device(batch, key, crop_h, crop_w)
+            batch = apply_augmentation_device(
+                batch, key, crop_h, crop_w,
+                mean_window=mean_window, mean_per_pixel=mean_per_pixel,
+            )
+            extra = {
+                k: batch.pop(k)
+                for k in ("aug_batch_mean0", "aug_batch_mean1")
+                if k in batch
+            }
+            loss, aux = base_loss(params, batch)
+            if extra:
+                aux = dict(aux, **extra)
+            return loss, aux
         return base_loss(params, batch)
 
     return loss_fn

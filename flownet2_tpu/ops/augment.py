@@ -308,7 +308,21 @@ class ChromaticAugSpec:
 
 @dataclass(frozen=True)
 class EffectAugSpec:
+    """Effect-family sampling specs (generate_effect_coeffs,
+    augmentation_layer_base.cpp:313-336). Noise and shadow have device
+    kernels (apply_gaussian_noise / apply_shadow); fog and motion-blur are
+    sampled into the coefficient array for blob parity but — exactly like
+    the reference kernel, which never implemented them (ApplyEffects,
+    data_augmentation_layer.cu:296-318) — have no image effect."""
+
     noise: Optional[RandomSpec] = None
+    shadow_angle: Optional[RandomSpec] = None
+    shadow_distance: Optional[RandomSpec] = None
+    shadow_strength: Optional[RandomSpec] = None
+    fog_amount: Optional[RandomSpec] = None
+    fog_size: Optional[RandomSpec] = None
+    motion_blur_angle: Optional[RandomSpec] = None
+    motion_blur_size: Optional[RandomSpec] = None
 
     def sample_noise_std(self, rng: np.random.Generator, discount: float = 1.0) -> float:
         return self.noise.sample(rng, discount) if self.noise is not None else 0.0

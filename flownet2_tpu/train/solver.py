@@ -198,14 +198,21 @@ class Solver:
         *,
         max_iter: Optional[int] = None,
         log: Callable[[str], None] = print,
+        on_step: Optional[Callable[[int, float, dict], None]] = None,
     ):
         """The reference Solve/Step loop: train until max_iter, honoring
-        display/test/snapshot intervals and signal actions."""
+        display/test/snapshot intervals and signal actions.
+
+        ``on_step(iteration, loss, aux)`` runs after every step — the hook
+        for host-side state that mirrors in-step computations (e.g. folding
+        ``aug_batch_mean*`` aux into a data.mean.MeanRecompute)."""
         max_iter = self.config.max_iter if max_iter is None else max_iter
         t0 = time.time()
         while self.iteration < max_iter:
             batch = next(data_iter)
             loss, _aux = self.step(batch)
+            if on_step is not None:
+                on_step(self.iteration, loss, _aux)
             it = self.iteration
             if self.display and it % self.display == 0:
                 rate = self.display / max(time.time() - t0, 1e-9)

@@ -300,3 +300,295 @@ def test_vectorized_sampler_valid_and_fast(rng):
     for row in out:
         c = SpatialCoeffs(*(float(v) for v in row))
         assert crop_fits(c, 448, 320, 512, 384)
+
+
+# ---------------------------------------------------------------------------
+# Coefficient arrays + GenerateAugmentationParameters modes
+# ---------------------------------------------------------------------------
+
+
+class TestAugParams:
+    """generate_augmentation_parameters_layer.{cpp,cu} semantics."""
+
+    def _specs(self):
+        from flownet2_tpu.data.aug_params import AugSpecBundle
+        from flownet2_tpu.ops.augment import ChromaticAugSpec, EffectAugSpec
+
+        return AugSpecBundle(
+            spatial=SpatialAugSpec(
+                translate=RandomSpec("uniform", mean=0.0, spread=0.1),
+                rotate=RandomSpec("uniform", mean=0.0, spread=0.1),
+                zoom=RandomSpec("uniform", exp=True, mean=0.1, spread=0.1),
+            ),
+            chromatic=ChromaticAugSpec(
+                gamma=RandomSpec("gaussian", exp=True, mean=0.0, spread=0.05),
+                brightness=RandomSpec("gaussian", mean=0.0, spread=0.05),
+            ),
+            effect=EffectAugSpec(noise=RandomSpec("uniform", mean=0.05, spread=0.05)),
+        )
+
+    def test_array_round_trip(self, rng):
+        from flownet2_tpu.data.aug_params import (
+            FullCoeffs,
+            array_to_coeffs,
+            coeffs_to_array,
+            identity_array,
+            NUM_COEFFS,
+        )
+        from flownet2_tpu.ops.augment import ChromaticCoeffs, ChromaticEigenCoeffs
+
+        # identity encodes to all zeros (log(1)=0)
+        np.testing.assert_allclose(coeffs_to_array(FullCoeffs.identity()), identity_array())
+        assert identity_array().shape == (NUM_COEFFS,)
+
+        c = FullCoeffs(
+            SpatialCoeffs(mirror=1.0, dx=0.1, dy=-0.2, angle=0.3, zoom_x=1.5, zoom_y=0.8),
+            ChromaticCoeffs(gamma=1.2, brightness=-0.1, contrast=0.9, color=(1.1, 0.95, 1.0)),
+            ChromaticEigenCoeffs(lmult_pow=1.3, lmult_add=0.2, col_angle=0.1),
+            noise=0.07,
+            shadow_strength=0.4,
+        )
+        rt = array_to_coeffs(coeffs_to_array(c))
+        assert rt.spatial.zoom_x == pytest.approx(1.5, rel=1e-6)
+        assert rt.spatial.dx == pytest.approx(0.1, abs=1e-7)
+        assert rt.chromatic.gamma == pytest.approx(1.2, rel=1e-6)
+        assert rt.chromatic.color[1] == pytest.approx(0.95, rel=1e-6)
+        assert rt.eigen.lmult_pow == pytest.approx(1.3, rel=1e-6)
+        assert rt.noise == pytest.approx(0.07, abs=1e-7)
+        assert rt.shadow_strength == pytest.approx(0.4, abs=1e-7)
+
+    def test_log_space_addition_composes_multiplicatively(self):
+        from flownet2_tpu.data.aug_params import array_to_coeffs, coeffs_to_array, FullCoeffs
+        from flownet2_tpu.ops.augment import ChromaticCoeffs, ChromaticEigenCoeffs
+
+        a = FullCoeffs(SpatialCoeffs(zoom_x=2.0, zoom_y=2.0), ChromaticCoeffs(gamma=1.5), ChromaticEigenCoeffs())
+        b = FullCoeffs(SpatialCoeffs(zoom_x=0.5, zoom_y=4.0), ChromaticCoeffs(gamma=2.0), ChromaticEigenCoeffs())
+        combined = array_to_coeffs(coeffs_to_array(a) + coeffs_to_array(b))
+        assert combined.spatial.zoom_x == pytest.approx(1.0, rel=1e-6)
+        assert combined.spatial.zoom_y == pytest.approx(8.0, rel=1e-6)
+        assert combined.chromatic.gamma == pytest.approx(3.0, rel=1e-6)
+
+    def test_regenerate_ignores_incoming(self, rng):
+        from flownet2_tpu.data.aug_params import (
+            array_to_coeffs,
+            generate_augmentation_parameters,
+            identity_array,
+        )
+
+        incoming = identity_array()
+        incoming[1] = 123.0  # huge dx that would never pass bounds checking
+        geo = dict(crop_w=64, crop_h=48, src_w=128, src_h=96)
+        out = generate_augmentation_parameters(
+            self._specs(), incoming, mode="regenerate", rng=rng, **geo
+        )
+        c = array_to_coeffs(out)
+        assert abs(c.spatial.dx) < 1.0  # fresh, not 123
+        assert crop_fits(c.spatial, **{k: geo[k] for k in ("crop_w", "crop_h", "src_w", "src_h")})
+
+    def test_replace_clears_spatial_keeps_rest_fresh_chromatic(self, rng):
+        from flownet2_tpu.data.aug_params import (
+            array_to_coeffs,
+            coeffs_to_array,
+            generate_augmentation_parameters,
+            FullCoeffs,
+            _INDEX,
+        )
+        from flownet2_tpu.ops.augment import ChromaticCoeffs, ChromaticEigenCoeffs
+
+        incoming = coeffs_to_array(
+            FullCoeffs(
+                SpatialCoeffs(dx=0.3, angle=1.0),
+                ChromaticCoeffs(gamma=5.0),
+                ChromaticEigenCoeffs(lmult_add=0.7),
+            )
+        )
+        geo = dict(crop_w=64, crop_h=48, src_w=256, src_h=192)
+        out = generate_augmentation_parameters(
+            self._specs(), incoming, mode="replace", rng=rng, **geo
+        )
+        c = array_to_coeffs(out)
+        # spatial was cleared then regenerated small (spec spread 0.1)
+        assert abs(c.spatial.dx) < 0.3
+        assert abs(c.spatial.angle) < 0.5
+        # chromatic overwritten by fresh (gamma near 1, not 5)
+        assert c.chromatic.gamma < 2.0
+        # eigen not generated by these specs -> incoming kept
+        assert c.eigen.lmult_add == pytest.approx(0.7, rel=1e-5)
+
+    def test_add_composes_with_incoming(self, rng):
+        from flownet2_tpu.data.aug_params import (
+            array_to_coeffs,
+            coeffs_to_array,
+            generate_augmentation_parameters,
+            FullCoeffs,
+        )
+        from flownet2_tpu.ops.augment import ChromaticCoeffs, ChromaticEigenCoeffs
+
+        incoming = coeffs_to_array(
+            FullCoeffs(SpatialCoeffs(dx=0.05), ChromaticCoeffs(gamma=1.5), ChromaticEigenCoeffs())
+        )
+        geo = dict(crop_w=64, crop_h=48, src_w=256, src_h=192)
+        outs = [
+            array_to_coeffs(
+                generate_augmentation_parameters(
+                    self._specs(), incoming, mode="add", rng=rng, **geo
+                )
+            )
+            for _ in range(50)
+        ]
+        # spatial: fresh dx ~ U(-0.1, 0.1) added onto incoming 0.05
+        mean_dx = np.mean([o.spatial.dx for o in outs])
+        assert mean_dx == pytest.approx(0.05, abs=0.03)
+        # chromatic: fresh gamma (exp-gaussian around 1) composed onto 1.5
+        mean_gamma = np.exp(np.mean([np.log(o.chromatic.gamma) for o in outs]))
+        assert mean_gamma == pytest.approx(1.5, rel=0.1)
+        # effect: noise regenerated each time, in the spec's range
+        assert all(0.0 <= o.noise <= 0.11 for o in outs)
+
+    def test_add_rejection_respects_bounds(self, rng):
+        from flownet2_tpu.data.aug_params import (
+            array_to_coeffs,
+            coeffs_to_array,
+            generate_augmentation_parameters,
+            FullCoeffs,
+        )
+        from flownet2_tpu.ops.augment import ChromaticCoeffs, ChromaticEigenCoeffs
+
+        # incoming translation near the edge: composed result must still fit
+        incoming = coeffs_to_array(
+            FullCoeffs(SpatialCoeffs(dx=0.2), ChromaticCoeffs(), ChromaticEigenCoeffs())
+        )
+        geo = dict(crop_w=64, crop_h=48, src_w=96, src_h=72)
+        for _ in range(20):
+            out = generate_augmentation_parameters(
+                self._specs(), incoming, mode="add", rng=rng, **geo
+            )
+            c = array_to_coeffs(out).spatial
+            assert crop_fits(c, 64, 48, 96, 72)
+
+    def test_batch_generator(self, rng):
+        from flownet2_tpu.data.aug_params import (
+            NUM_COEFFS,
+            generate_augmentation_parameters_batch,
+        )
+
+        out = generate_augmentation_parameters_batch(
+            self._specs(), None, 4, mode="add", rng=rng,
+            crop_w=64, crop_h=48, src_w=128, src_h=96,
+        )
+        assert out.shape == (4, NUM_COEFFS)
+        assert not np.allclose(out[0], out[1])  # per-item sampling
+
+
+# ---------------------------------------------------------------------------
+# Running-mean recompute + mean subtraction
+# ---------------------------------------------------------------------------
+
+
+class TestMeanRecompute:
+    """data_augmentation_layer.cu:592-635 recursion + subtraction modes."""
+
+    def test_running_mean_matches_reference_recursion(self, rng):
+        from flownet2_tpu.data.mean import MeanRecompute, recompute_mean_and_subtract
+
+        h, w, c = 8, 10, 3
+        mr = MeanRecompute(h, w, c, window=5, per_pixel=True)
+        batches = [rng.uniform(0, 1, (4, h, w, c)).astype(np.float32) for _ in range(8)]
+
+        # oracle: the reference recursion in pure numpy, frozen after window
+        mean = np.zeros((h, w, c), np.float32)
+        for t, b in enumerate(batches, start=1):
+            bm = b.mean(axis=0)
+            if t <= 5:
+                mean = (mean * (t - 1) + bm) / t
+            batch = mr.attach({"x": b})
+            out, got_bm = recompute_mean_and_subtract(
+                jnp.asarray(b), jnp.asarray(batch["mean_image0"]),
+                jnp.asarray(batch["mean_iter"]), window=5, per_pixel=True,
+            )
+            np.testing.assert_allclose(np.asarray(got_bm), bm, rtol=1e-5)
+            np.testing.assert_allclose(np.asarray(out), b - mean, rtol=1e-4, atol=1e-5)
+            mr.update(np.asarray(got_bm))
+            np.testing.assert_allclose(mr.mean, mean, rtol=1e-5)
+
+    def test_per_channel_subtraction(self, rng):
+        from flownet2_tpu.data.mean import recompute_mean_and_subtract
+
+        b = rng.uniform(0, 1, (2, 4, 4, 3)).astype(np.float32)
+        mean = rng.uniform(0, 1, (4, 4, 3)).astype(np.float32)
+        out, bm = recompute_mean_and_subtract(
+            jnp.asarray(b), jnp.asarray(mean), jnp.asarray(3, jnp.int32),
+            window=2, per_pixel=False,
+        )
+        # iteration 3 > window 2: mean frozen; per-channel average subtracted
+        expect = b - mean.mean(axis=(0, 1), keepdims=True)
+        np.testing.assert_allclose(np.asarray(out), expect, rtol=1e-5)
+
+    def test_fixed_rgb_mean(self, rng):
+        from flownet2_tpu.data.mean import subtract_fixed_mean
+
+        b = rng.uniform(0, 1, (2, 4, 4, 3)).astype(np.float32)
+        out = subtract_fixed_mean(jnp.asarray(b), [0.4, 0.3, 0.2])
+        np.testing.assert_allclose(
+            np.asarray(out), b - np.asarray([0.4, 0.3, 0.2], np.float32), rtol=1e-6
+        )
+
+    def test_mean_file_round_trip(self, tmp_path, rng):
+        from flownet2_tpu.data.mean import MeanRecompute
+
+        mr = MeanRecompute(6, 8, 3, window=2)
+        mr.update(rng.uniform(0, 1, (6, 8, 3)).astype(np.float32))
+        path = str(tmp_path / "mean.float3")
+        mr.write_mean(path)
+        loaded = MeanRecompute.from_mean_file(path)
+        np.testing.assert_allclose(loaded.mean, mr.mean, rtol=1e-6)
+        # frozen: update must not change it
+        frozen = loaded.mean.copy()
+        loaded.update(np.ones((6, 8, 3), np.float32))
+        np.testing.assert_allclose(loaded.mean, frozen)
+
+    def test_augmented_loss_surfaces_batch_mean(self, rng):
+        from flownet2_tpu.data.augment_pipeline import (
+            make_augmented_loss,
+            make_flownet_augmenter,
+        )
+        from flownet2_tpu.data.mean import MeanRecompute
+
+        def base_loss(params, batch):
+            return jnp.mean(batch["img0"]), {}
+
+        loss_fn = make_augmented_loss(base_loss, 32, 48, mean_window=4, mean_per_pixel=True)
+        batch = {
+            "img0": rng.uniform(0, 255, (2, 48, 64, 3)).astype(np.float32),
+            "img1": rng.uniform(0, 255, (2, 48, 64, 3)).astype(np.float32),
+            "flow": rng.uniform(-2, 2, (2, 48, 64, 2)).astype(np.float32),
+        }
+        batch = make_flownet_augmenter(32, 48)(batch, rng)
+        mr0 = MeanRecompute(32, 48, 3, window=4, per_pixel=True)
+        batch = mr0.attach(batch, key="mean_image0")
+        loss, aux = jax.jit(loss_fn)(({},), batch)
+        assert "aug_batch_mean0" in aux
+        assert np.asarray(aux["aug_batch_mean0"]).shape == (32, 48, 3)
+        mr0.update(np.asarray(aux["aug_batch_mean0"]))
+        assert mr0.num_iter == 1
+        assert np.isfinite(float(loss))
+
+
+def test_write_augmented_dumps(tmp_path, rng):
+    """write_augmented (caffe.proto:492): coefficient log + image dumps."""
+    from flownet2_tpu.data.augment_pipeline import make_flownet_augmenter, write_augmented
+    from flownet2_tpu.core.flow_io import read_ppm
+
+    batch = {
+        "img0": rng.uniform(0, 255, (2, 48, 64, 3)).astype(np.float32),
+        "img1": rng.uniform(0, 255, (2, 48, 64, 3)).astype(np.float32),
+        "flow": rng.uniform(-2, 2, (2, 48, 64, 2)).astype(np.float32),
+    }
+    batch = make_flownet_augmenter(32, 48)(batch, rng)
+    lines = []
+    paths = write_augmented(batch, str(tmp_path), 7, 32, 48, log=lines.append)
+    assert len(paths) == 4  # 2 items x 2 frames
+    assert len(lines) == 2 and "gamma" in lines[0]
+    img = read_ppm(paths[0])
+    assert img.shape == (32, 48, 3)
+    assert all("0000007" in p for p in paths)

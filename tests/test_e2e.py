@@ -125,3 +125,55 @@ def test_run_flownet_many_cli(tmp_path):
     for out in (out1, out2):
         flow = read_flo(out)
         assert flow.shape == (384, 512, 2)
+
+
+@needs_examples
+def test_training_with_mean_recompute(tmp_path):
+    """Augmented training with the running-mean window: the in-step
+    subtraction + aux batch means keep the host MeanRecompute mirrors in
+    sync across solver steps (data_augmentation_layer.cu:592-635 path)."""
+    from flownet2_tpu.data import BatchLoader, FlyingChairs
+    from flownet2_tpu.data.augment_pipeline import (
+        make_augmented_loss,
+        make_flownet_augmenter,
+    )
+    from flownet2_tpu.data.mean import MeanRecompute
+    from flownet2_tpu.models import flownet_s_init
+    from flownet2_tpu.train import Solver, SolverConfig
+    from flownet2_tpu.train.objectives import flownet_s_loss
+
+    ds = FlyingChairs(EXAMPLES)
+    crop_h, crop_w = 64, 128
+    means = [
+        MeanRecompute(crop_h, crop_w, 3, window=2, per_pixel=True) for _ in range(2)
+    ]
+    base = make_flownet_augmenter(crop_h, crop_w)
+
+    def transform(batch, rng):
+        batch = base(batch, rng)
+        batch = means[0].attach(batch, key="mean_image0")
+        return means[1].attach(batch, key="mean_image1")
+
+    loader = BatchLoader(ds, batch_size=2, shuffle_seed=0, num_threads=1, transform=transform)
+    cfg = SolverConfig(solver_type="adam", base_lr=1e-4, max_iter=3)
+    solver = Solver(
+        cfg,
+        make_augmented_loss(flownet_s_loss, crop_h, crop_w, mean_window=2, mean_per_pixel=True),
+        flownet_s_init(jax.random.PRNGKey(0)),
+        display=0,
+    )
+
+    seen = []
+
+    def on_step(it, loss, aux):
+        assert "aug_batch_mean0" in aux and "aug_batch_mean1" in aux
+        for m, k in zip(means, ("aug_batch_mean0", "aug_batch_mean1")):
+            m.update(np.asarray(aux[k]))
+        seen.append(it)
+
+    solver.solve(iter(loader), max_iter=3, log=lambda s: None, on_step=on_step)
+    assert seen == [1, 2, 3]
+    assert means[0].num_iter == 3
+    # window=2: the mean froze after iteration 2 and is a real image mean
+    assert means[0].mean.shape == (crop_h, crop_w, 3)
+    assert 0.0 < means[0].mean.mean() < 1.0  # images are in [0,1] pre-x255
