@@ -36,31 +36,7 @@ from jax import lax
 REF_PAIRS_PER_SEC = 1000.0 / 123.0  # GTX 1080, FlowNet2 paper (BASELINE.md)
 
 
-def chain_ms(op, feedback_arg, rest_args, n1, n2):
-    """ms/iter of op(feedback_arg, *rest) with data-dependent chaining."""
-
-    @jax.jit  # rest must be an ARGUMENT: closing over params bakes them
-    def run(a0, rest, n):  # into the HLO and overflows the remote compiler
-        def body(i, carry):
-            a0, acc = carry
-            out = op(a0, *rest)
-            s = sum(jnp.sum(x).astype(jnp.float32) for x in jax.tree.leaves(out))
-            acc = acc + s
-            a0 = a0 + (acc * 1e-30).astype(a0.dtype)
-            return (a0, acc)
-
-        _, acc = lax.fori_loop(0, n, body, (a0, jnp.float32(0)))
-        return acc
-
-    def timed(n):
-        t0 = time.perf_counter()
-        float(run(feedback_arg, rest_args, n))
-        return time.perf_counter() - t0
-
-    timed(n1)  # compile + warm
-    t1 = min(timed(n1) for _ in range(2))
-    t2 = min(timed(n2) for _ in range(2))
-    return (t2 - t1) / (n2 - n1) * 1000
+from flownet2_tpu.tools.timing import chain_ms  # the shared methodology core
 
 
 def bench_inference(h, w, batch, dtype, n1, n2):
