@@ -8,7 +8,7 @@ import jax
 import jax.numpy as jnp
 
 from flownet2_tpu.ops.activations import leaky_relu
-from flownet2_tpu.ops.conv import conv2d, deconv2d, init_conv_params
+from flownet2_tpu.ops.conv import conv2d, deconv2d_ps, init_conv_params
 from flownet2_tpu.parallel.annotate import constrain_act
 
 
@@ -20,9 +20,39 @@ def conv_block(params: dict, name: str, x: jnp.ndarray, *, stride: int = 1, relu
     return constrain_act(out)
 
 
+def use_s2d_head(x: jnp.ndarray, layout: str = "auto") -> bool:
+    """Whether a full-resolution encoder head should run in the
+    space-to-depth domain (ops/s2d.py): on accelerators with even H, W.
+    Full-res convs below the 128-lane channel tile are the slowest ops in
+    the cascade under XLA's native lowering (docs/DESIGN_NOTES.md)."""
+    if layout == "auto":
+        return (
+            jax.default_backend() != "cpu"
+            and x.shape[1] % 2 == 0
+            and x.shape[2] % 2 == 0
+        )
+    return layout == "s2d"
+
+
+def strided_head_block(params: dict, name: str, x: jnp.ndarray, *, layout: str = "auto") -> jnp.ndarray:
+    """First stride-2 encoder conv evaluated as one s2d-domain conv when
+    possible (exact rewrite; tested against the plain path), else plain."""
+    if use_s2d_head(x, layout):
+        from flownet2_tpu.ops.s2d import conv2d_s2d, space_to_depth
+
+        p = params[name]
+        out = leaky_relu(conv2d_s2d(space_to_depth(x), p["w"], p["b"], stride=2))
+        return constrain_act(out)
+    return conv_block(params, name, x, stride=2)
+
+
 def deconv_block(params: dict, name: str, x: jnp.ndarray, *, relu: bool = True) -> jnp.ndarray:
     p = params[name]
-    out = deconv2d(x, p["w"], p["b"], stride=2, padding=1)
+    # deconv2d_ps: the pixel-shuffle formulation of the k4/s2/p1 transposed
+    # conv (exact; one dense MXU conv instead of XLA's input-dilated
+    # lowering that wastes 4x on zero taps). Non-FlowNet geometries fall
+    # back to the true deconv inside deconv2d_ps.
+    out = deconv2d_ps(x, p["w"], p["b"], stride=2, padding=1)
     out = leaky_relu(out) if relu else out
     return constrain_act(out)
 

@@ -17,6 +17,7 @@ from flownet2_tpu.models.common import (
     conv_block,
     init_refinement_decoder,
     refinement_decoder,
+    strided_head_block,
 )
 from flownet2_tpu.ops.activations import leaky_relu
 from flownet2_tpu.ops.correlation import correlation_auto as correlation
@@ -44,11 +45,14 @@ def flownet_c_init(key: jax.Array, in_channels: int = 3, dtype=jnp.float32) -> d
     return pi.params
 
 
-def flownet_c_apply(params: dict, img0: jnp.ndarray, img1: jnp.ndarray) -> dict[str, jnp.ndarray]:
-    """img0/img1: (N, H, W, 3) normalized → {"flow2".."flow6"} (net units)."""
+def flownet_c_apply(
+    params: dict, img0: jnp.ndarray, img1: jnp.ndarray, *, layout: str = "auto"
+) -> dict[str, jnp.ndarray]:
+    """img0/img1: (N, H, W, 3) normalized → {"flow2".."flow6"} (net units).
+    ``layout``: see flownet_s_apply (full-res head in the s2d domain)."""
 
     def tower(x):
-        c1 = conv_block(params, "conv1", x, stride=2)
+        c1 = strided_head_block(params, "conv1", x, layout=layout)
         c2 = conv_block(params, "conv2", c1, stride=2)
         c3 = conv_block(params, "conv3", c2, stride=2)
         return c2, c3

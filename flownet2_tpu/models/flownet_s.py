@@ -15,6 +15,7 @@ from flownet2_tpu.models.common import (
     conv_block,
     init_refinement_decoder,
     refinement_decoder,
+    strided_head_block,
 )
 
 ENCODER_CHANNELS = {
@@ -43,9 +44,15 @@ def flownet_s_init(key: jax.Array, in_channels: int = 6, dtype=jnp.float32) -> d
     return pi.params
 
 
-def flownet_s_apply(params: dict, x: jnp.ndarray) -> dict[str, jnp.ndarray]:
-    """x: (N, H, W, C) stacked inputs → {"flow2".."flow6"} (net units)."""
-    c1 = conv_block(params, "conv1", x, stride=2)
+def flownet_s_apply(
+    params: dict, x: jnp.ndarray, *, layout: str = "auto"
+) -> dict[str, jnp.ndarray]:
+    """x: (N, H, W, C) stacked inputs → {"flow2".."flow6"} (net units).
+
+    ``layout``: "s2d" evaluates the full-res 7×7/s2 head in the
+    space-to-depth domain (exact; the TPU fast path), "plain" the direct
+    conv; "auto" picks per backend (models/common.use_s2d_head)."""
+    c1 = strided_head_block(params, "conv1", x, layout=layout)
     c2 = conv_block(params, "conv2", c1, stride=2)
     c3 = conv_block(params, "conv3", c2, stride=2)
     c3_1 = conv_block(params, "conv3_1", c3)

@@ -53,10 +53,28 @@ def flownet_sd_init(key: jax.Array, in_channels: int = 6, dtype=jnp.float32) -> 
     return pi.params
 
 
-def flownet_sd_apply(params: dict, x: jnp.ndarray) -> dict[str, jnp.ndarray]:
-    """x: (N, H, W, 6) stacked normalized image pair → {"flow2".."flow6"}."""
-    c0 = conv_block(params, "conv0", x)
-    c1 = conv_block(params, "conv1", c0, stride=2)
+def flownet_sd_apply(
+    params: dict, x: jnp.ndarray, *, layout: str = "auto"
+) -> dict[str, jnp.ndarray]:
+    """x: (N, H, W, 6) stacked normalized image pair → {"flow2".."flow6"}.
+
+    ``layout`` "s2d": the full-resolution head (conv0 stride-1 + conv1
+    stride-2) runs in the space-to-depth domain without materializing the
+    full-res 64-channel activation — the same exact rewrite as the fusion
+    net's head (models/fusion.py)."""
+    from flownet2_tpu.models.common import use_s2d_head
+
+    if use_s2d_head(x, layout):
+        from flownet2_tpu.ops.activations import leaky_relu
+        from flownet2_tpu.ops.s2d import conv2d_s2d, space_to_depth
+
+        x2 = space_to_depth(x)
+        p0, p1 = params["conv0"], params["conv1"]
+        c0_2 = leaky_relu(conv2d_s2d(x2, p0["w"], p0["b"]))
+        c1 = leaky_relu(conv2d_s2d(c0_2, p1["w"], p1["b"], stride=2))
+    else:
+        c0 = conv_block(params, "conv0", x)
+        c1 = conv_block(params, "conv1", c0, stride=2)
     c1_1 = conv_block(params, "conv1_1", c1)
     c2 = conv_block(params, "conv2", c1_1, stride=2)
     c2_1 = conv_block(params, "conv2_1", c2)

@@ -47,20 +47,26 @@ def flow_warp(
     ``method`` makes the speed/exactness trade explicit (VERDICT r1 §weak.6):
       "gather"   — exact fp32 patch-gather (the parity path);
       "onehot"   — full one-hot MXU formulation, bf16, ~1e-3 abs error;
-      "windowed" — windowed one-hot MXU formulation (default fast path,
-                   ~6× fewer FLOPs than "onehot" at 448 wide, ~19× at 1024;
-                   exact within a per-tile flow-variation budget, clamps
-                   outliers to the window edge — see flow_warp_windowed);
-      "auto"     — "windowed" for bf16 images on an accelerator, else
-                   "gather". Override globally with FLOWNET2_TPU_WARP.
+      "windowed" — windowed one-hot MXU formulation (exact within a
+                   per-tile flow-variation budget, clamps outliers to the
+                   window edge — see flow_warp_windowed);
+      "pallas"   — the same windowed algorithm as ONE fused Pallas program
+                   (ops/pallas/warp.py; default fast path — kills the XLA
+                   version's 80-step scan dispatch overhead). Gradients
+                   route through the XLA windowed formulation via a
+                   custom VJP, so training works identically;
+      "auto"     — "pallas" for bf16 images on a TPU, else "gather".
+                   Override globally with FLOWNET2_TPU_WARP.
     """
     if method == "auto":
         method = os.environ.get("FLOWNET2_TPU_WARP", "auto")
     if method == "auto":
         if image.dtype == jnp.bfloat16 and jax.default_backend() != "cpu":
-            method = "windowed"
+            method = "pallas" if jax.default_backend() in ("tpu", "axon") else "windowed"
         else:
             method = "gather"
+    if method == "pallas":
+        return _flow_warp_pallas_vjp(image, flow, fill_value)
     if method == "windowed":
         return flow_warp_windowed(image, flow, fill_value)
     if method == "onehot":
@@ -230,11 +236,18 @@ def flow_warp_windowed(
     ax = jnp.clip(x2c - xb.astype(jnp.float32), 0.0, 1.0).astype(cdtype)
     ay = jnp.clip(y2c - yb.astype(jnp.float32), 0.0, 1.0).astype(cdtype)
 
-    # pad the output grid to whole tiles and the image to window minima
+    # Pad the output grid to whole tiles and the image to window minima.
+    # Coordinate pads must be LARGE, not zero: the per-tile window base is a
+    # min over the tile, and a zero pad in a partial last chunk drags the
+    # base to 0, clamping every real pixel whose source lies beyond the
+    # window (caught as a mean-46px vertical error at 448x320). Large pads
+    # clip to the window edge in pixels that only exist to be cropped.
     hp = -(-h // rt) * rt
     wp = -(-w // ck) * ck
     pad2 = ((0, 0), (0, hp - h), (0, wp - w))
-    xb, yb = jnp.pad(xb, pad2), jnp.pad(yb, pad2)
+    big = max(h, w) * 2
+    xb = jnp.pad(xb, pad2, constant_values=big)
+    yb = jnp.pad(yb, pad2, constant_values=big)
     ax, ay = jnp.pad(ax, pad2), jnp.pad(ay, pad2)
     him, wim = max(h, vw), max(w, sw)
     img = jnp.pad(
@@ -294,3 +307,34 @@ def flow_warp_windowed(
     out = out[:, :h, :w]
     out = jnp.where(valid[..., None], out, jnp.float32(fill_value))
     return out.astype(orig_dtype)
+
+
+# -- Pallas fast path -------------------------------------------------------
+# Forward: the fused kernel (ops/pallas/warp.py). Backward: the XLA windowed
+# formulation's gradients (same windowed approximation family), so training
+# through method="pallas" needs no hand-written backward kernel.
+
+
+@jax.custom_vjp
+def _flow_warp_pallas_core(image, flow, fill_value):
+    from flownet2_tpu.ops.pallas.warp import flow_warp_pallas
+
+    return flow_warp_pallas(image, flow, fill_value)
+
+
+def _fwp_fwd(image, flow, fill_value):
+    return _flow_warp_pallas_core(image, flow, fill_value), (image, flow, fill_value)
+
+
+def _fwp_bwd(res, g):
+    image, flow, fill_value = res
+    _, vjp = jax.vjp(lambda im, fl: flow_warp_windowed(im, fl, fill_value), image, flow)
+    dimg, dflow = vjp(g)
+    return dimg, dflow, None
+
+
+_flow_warp_pallas_core.defvjp(_fwp_fwd, _fwp_bwd)
+
+
+def _flow_warp_pallas_vjp(image, flow, fill_value=0.0):
+    return _flow_warp_pallas_core(image, flow, fill_value)

@@ -330,3 +330,18 @@ class TestCorrelation1DFast:
             atol=1e-2,
             rtol=1e-2,
         )
+
+
+def test_flow_warp_windowed_partial_chunk_tall_image(rng):
+    """Regression: the per-tile window base is a min over tile coordinates;
+    zero-padded coordinates in a partial last column-chunk dragged the base
+    to 0 and clamped every pixel with source row >= v_window (mean ~46px
+    vertical error at 448x320 pre-fix). Pads must be large, not zero."""
+    from flownet2_tpu.ops.warp import flow_warp_gather, flow_warp_windowed
+
+    n, h, w = 1, 96, 300  # h > v_window(64), w % col_chunk(256) != 0
+    img = jnp.asarray(rng.uniform(0, 1, (n, h, w, 3)).astype(np.float32))
+    flow = jnp.asarray(rng.uniform(-5, 5, (n, h, w, 2)).astype(np.float32))
+    got = flow_warp_windowed(img, flow)
+    ref = flow_warp_gather(img, flow)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)

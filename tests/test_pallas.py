@@ -30,3 +30,40 @@ def test_correlation_pallas_bf16(rng):
     np.testing.assert_allclose(
         np.asarray(got, np.float32), np.asarray(ref, np.float32), rtol=2e-2, atol=2e-2
     )
+
+
+def test_flow_warp_pallas_matches_gather(rng):
+    from flownet2_tpu.ops.pallas.warp import flow_warp_pallas
+    from flownet2_tpu.ops.warp import flow_warp_gather
+
+    n, h, w, c = 2, 40, 300, 3
+    img = jnp.asarray(rng.uniform(0, 1, (n, h, w, c)).astype(np.float32))
+    flow = jnp.asarray(rng.uniform(-6, 6, (n, h, w, 2)).astype(np.float32))
+    # out-of-range samples must hit the fill value
+    flow = flow.at[:, :4, :4, 0].set(500.0)
+    got = flow_warp_pallas(img, flow, interpret=True)
+    ref = flow_warp_gather(img, flow)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+def test_flow_warp_pallas_nan_fill(rng):
+    from flownet2_tpu.ops.pallas.warp import flow_warp_pallas
+
+    img = jnp.asarray(rng.uniform(0, 1, (1, 16, 140, 3)).astype(np.float32))
+    flow = jnp.zeros((1, 16, 140, 2), jnp.float32).at[0, 2, 3, 1].set(-99.0)
+    out = flow_warp_pallas(img, flow, fill_value=float("nan"), interpret=True)
+    assert np.isnan(np.asarray(out)[0, 2, 3]).all()
+    assert np.isfinite(np.asarray(out)[0, 3:]).all()
+
+
+def test_flow_warp_pallas_bf16(rng):
+    from flownet2_tpu.ops.pallas.warp import flow_warp_pallas
+    from flownet2_tpu.ops.warp import flow_warp_gather
+
+    img = jnp.asarray(rng.uniform(0, 1, (1, 24, 260, 3)), jnp.bfloat16)
+    flow = jnp.asarray(rng.uniform(-4, 4, (1, 24, 260, 2)), jnp.bfloat16)
+    got = flow_warp_pallas(img, flow, interpret=True)
+    ref = flow_warp_gather(img, flow)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(ref, np.float32), atol=3e-2
+    )

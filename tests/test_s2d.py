@@ -118,3 +118,34 @@ def test_flow_warp_windowed_odd_sizes(rng):
     ref = flow_warp_gather(img, flow)
     got = flow_warp_windowed(img, flow, rows_per_tile=4, col_chunk=16, src_window=48, v_window=24)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+@pytest.mark.parametrize("net", ["s", "c", "sd"])
+def test_encoder_s2d_heads_match_plain(rng, net):
+    """The s2d-domain encoder heads (FlowNetS/C 7x7-s2 conv1; SD conv0+conv1)
+    are exact rewrites of the plain path."""
+    import jax
+    from flownet2_tpu.models.flownet_s import flownet_s_apply, flownet_s_init
+    from flownet2_tpu.models.flownet_c import flownet_c_apply, flownet_c_init
+    from flownet2_tpu.models.flownet_sd import flownet_sd_apply, flownet_sd_init
+
+    key = jax.random.PRNGKey(0)
+    if net == "s":
+        params = flownet_s_init(key)
+        x = jnp.asarray(rng.standard_normal((2, 64, 128, 6)), jnp.float32)
+        f = lambda lo: flownet_s_apply(params, x, layout=lo)
+    elif net == "c":
+        params = flownet_c_init(key)
+        a = jnp.asarray(rng.standard_normal((2, 64, 128, 3)), jnp.float32)
+        b = jnp.asarray(rng.standard_normal((2, 64, 128, 3)), jnp.float32)
+        f = lambda lo: flownet_c_apply(params, a, b, layout=lo)
+    else:
+        params = flownet_sd_init(key)
+        x = jnp.asarray(rng.standard_normal((2, 64, 128, 6)), jnp.float32)
+        f = lambda lo: flownet_sd_apply(params, x, layout=lo)
+    plain = f("plain")
+    s2d = f("s2d")
+    for k in plain:
+        np.testing.assert_allclose(
+            np.asarray(s2d[k]), np.asarray(plain[k]), atol=3e-4
+        )
