@@ -37,12 +37,19 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# Tile geometry. CK=256 lanes per chunk keeps the per-cell matmul at
-# K=SW=384; RT=8 rows amortize one window DMA over 8 row-matmuls.
-RT = 8
-CK = 256
-SW = 384
+# Tile geometry. RT rows amortize one window DMA over RT row-matmuls; VW is
+# the vertical window; each CK-column output chunk contracts against an
+# SW-column window. A single-full-width-chunk variant (ck=sw=padded W, no
+# horizontal windowing) measured FASTER in isolation at 448 wide but ~1 ms
+# SLOWER inside the full cascade — keep the windowed geometry everywhere.
+RT = 16
 VW = 64
+
+
+def _geometry(w: int):
+    """-> (ck, sw, wim): column chunk, source window, padded image width."""
+    wim = max(-(-w // 128) * 128, 384)
+    return 256, 384, wim
 
 
 def _warp_kernel(
@@ -56,6 +63,8 @@ def _warp_kernel(
     sem,
     *,
     channels: int,
+    ck: int,
+    sw: int,
 ):
     b = pl.program_id(0)
     t = pl.program_id(1)
@@ -65,23 +74,23 @@ def _warp_kernel(
     y0 = pl.multiple_of(y0_ref[cell], 8)
 
     copy = pltpu.make_async_copy(
-        img_ref.at[b, :, pl.ds(y0, VW), pl.ds(x0, SW)], win_ref, sem
+        img_ref.at[b, :, pl.ds(y0, VW), pl.ds(x0, sw)], win_ref, sem
     )
     copy.start()
 
     c = channels
     # Mosaic's iota is integer-only; cast for the triangular weights.
-    s_iota = lax.broadcasted_iota(jnp.int32, (SW, CK), 0).astype(jnp.float32)
-    v_iota = lax.broadcasted_iota(jnp.int32, (VW, CK), 0).astype(jnp.float32)
+    s_iota = lax.broadcasted_iota(jnp.int32, (sw, ck), 0).astype(jnp.float32)
+    v_iota = lax.broadcasted_iota(jnp.int32, (VW, ck), 0).astype(jnp.float32)
 
     copy.wait()
-    win = win_ref[...].reshape(c * VW, SW)
+    win = win_ref[...].reshape(c * VW, sw)
 
     for r in range(RT):
         # Triangular two-tap weights relative to the window base. Clamping
         # into the window interior makes out-of-budget pixels stick to the
         # window edge (the documented windowed-warp divergence).
-        xr = jnp.clip(xc_ref[0, r, :] - x0.astype(jnp.float32), 0.0, SW - 1)
+        xr = jnp.clip(xc_ref[0, r, :] - x0.astype(jnp.float32), 0.0, sw - 1)
         yr = jnp.clip(yc_ref[0, r, :] - y0.astype(jnp.float32), 0.0, VW - 1)
         oht = jnp.maximum(1.0 - jnp.abs(s_iota - xr[None, :]), 0.0)  # (SW, CK)
         vt = jnp.maximum(1.0 - jnp.abs(v_iota - yr[None, :]), 0.0)  # (VW, CK)
@@ -91,7 +100,7 @@ def _warp_kernel(
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (C*VW, CK)
-        h3 = hsel.reshape(c, VW, CK)
+        h3 = hsel.reshape(c, VW, ck)
         out_ref[0, :, r, :] = jnp.sum(h3 * vt[None], axis=1).astype(out_ref.dtype)
 
 
@@ -122,25 +131,25 @@ def flow_warp_pallas(
     x2c = jnp.clip(x2, 0.0, w - 1)
     y2c = jnp.clip(y2, 0.0, h - 1)
 
-    # Pad the output grid to whole (RT, CK) tiles. Coordinate pads are LARGE
+    ck, sw, wim = _geometry(w)
+    # Pad the output grid to whole (RT, ck) tiles. Coordinate pads are LARGE
     # so the per-tile min (the window base) ignores them — zero pads would
     # drag the base to 0 in partial chunks and clamp every real pixel whose
     # source lies beyond the window (see ops/warp.flow_warp_windowed).
     hp = -(-h // RT) * RT
-    wp = -(-w // CK) * CK
+    wp = -(-w // ck) * ck
     pad2 = ((0, 0), (0, hp - h), (0, wp - w))
     big = float(2 * max(h, w))
     xcp = jnp.pad(x2c, pad2, constant_values=big)
     ycp = jnp.pad(y2c, pad2, constant_values=big)
-    nt, nc = hp // RT, wp // CK
+    nt, nc = hp // RT, wp // ck
 
     # Window bases: per-tile minimum source coordinate, tile-aligned down,
     # clamped so the window stays inside the padded image.
     him = max(-(-max(h, VW) // 8) * 8, VW)
-    wim = max(-(-max(w, SW) // 128) * 128, SW)
-    x0 = jnp.min(xcp.reshape(n, nt, RT, nc, CK), axis=(2, 4)).astype(jnp.int32)
-    y0 = jnp.min(ycp.reshape(n, nt, RT, nc, CK), axis=(2, 4)).astype(jnp.int32)
-    x0 = jnp.clip(x0 // 128 * 128, 0, wim - SW).reshape(-1)
+    x0 = jnp.min(xcp.reshape(n, nt, RT, nc, ck), axis=(2, 4)).astype(jnp.int32)
+    y0 = jnp.min(ycp.reshape(n, nt, RT, nc, ck), axis=(2, 4)).astype(jnp.int32)
+    x0 = jnp.clip(x0 // 128 * 128, 0, wim - sw).reshape(-1)
     y0 = jnp.clip(y0 // 8 * 8, 0, him - VW).reshape(-1)
 
     imgT = jnp.pad(
@@ -153,23 +162,23 @@ def flow_warp_pallas(
         grid=(n, nt, nc),
         in_specs=[
             pl.BlockSpec(
-                (1, RT, CK), lambda b, t, k, x0, y0: (b, t, k), memory_space=pltpu.VMEM
+                (1, RT, ck), lambda b, t, k, x0, y0: (b, t, k), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (1, RT, CK), lambda b, t, k, x0, y0: (b, t, k), memory_space=pltpu.VMEM
+                (1, RT, ck), lambda b, t, k, x0, y0: (b, t, k), memory_space=pltpu.VMEM
             ),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(
-            (1, c, RT, CK), lambda b, t, k, x0, y0: (b, 0, t, k), memory_space=pltpu.VMEM
+            (1, c, RT, ck), lambda b, t, k, x0, y0: (b, 0, t, k), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((c, VW, SW), cdtype),
+            pltpu.VMEM((c, VW, sw), cdtype),
             pltpu.SemaphoreType.DMA,
         ],
     )
     outT = pl.pallas_call(
-        partial(_warp_kernel, channels=c),
+        partial(_warp_kernel, channels=c, ck=ck, sw=sw),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n, c, hp, wp), cdtype),
         interpret=interpret,

@@ -213,13 +213,17 @@ def deconv2d_s2d(
     """k=4/s=2/p=1 deconvolution from plain half-res input (B,H2,W2,Cin) to
     the s2d of its full-res output (B,H2,W2,4Cout). Weight layout matches
     ops.conv.deconv2d: (4,4,Cout,Cin). Same algebra as deconv2d_ps with the
-    final depth-to-space elided (the phase grid IS the s2d layout)."""
+    final depth-to-space elided (the phase grid IS the s2d layout).
+
+    One merged VALID 2×2 conv producing all 4·Cout phase channels, then
+    phase-aligning shifted slices — the per-phase 4-conv variant ran the
+    MXU at Cout (=16 for the fusion deconv0) lanes and measured 2.3 ms
+    where this takes one dense conv (the deconv2d_ps structure)."""
     if w.shape[0] != 4 or w.shape[1] != 4:
         raise ValueError("deconv2d_s2d supports k=4 only")
     in_dtype = x.dtype
     if x.dtype != w.dtype:
         x = x.astype(w.dtype)
-    x = lax.optimization_barrier(x)  # same 4-consumer refusion issue as conv2d_s2d
     n, h2, w2_, cin = x.shape
     cout = w.shape[2]
     kidx = [[3, 1], [2, 0]]
@@ -238,16 +242,18 @@ def deconv2d_s2d(
         axis=-1,
     )  # (2, 2, Cout, Cin, 4)
     w_ps = jnp.transpose(w_ps, (0, 1, 3, 4, 2)).reshape(2, 2, cin, 4 * cout)
-    phase_outs = []
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    co = lax.conv_general_dilated(
+        xp, w_ps, (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32 if x.dtype == jnp.float32 else None,
+    ).reshape(n, h2 + 1, w2_ + 1, 4, cout)
+    # phase (di,dj) output position m uses conv position m+di / n+dj
+    phases = []
     for di in range(2):
         for dj in range(2):
-            wp_ = w_ps[:, :, :, (di * 2 + dj) * cout : (di * 2 + dj + 1) * cout]
-            o = lax.conv_general_dilated(
-                x, wp_, (1, 1), ((1 - di, di), (1 - dj, dj)),
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                preferred_element_type=jnp.float32 if x.dtype == jnp.float32 else None,
-            )
+            o = co[:, di : h2 + di, dj : w2_ + dj, di * 2 + dj]
             if b is not None:
                 o = o + b.astype(o.dtype)
-            phase_outs.append(o.astype(in_dtype))
-    return jnp.concatenate(phase_outs, axis=-1)
+            phases.append(o.astype(in_dtype))
+    return jnp.concatenate(phases, axis=-1)

@@ -149,3 +149,4 @@ def test_encoder_s2d_heads_match_plain(rng, net):
         np.testing.assert_allclose(
             np.asarray(s2d[k]), np.asarray(plain[k]), atol=3e-4
         )
+
