@@ -112,7 +112,7 @@ def _segment_permutation(segments, cin: int):
     return jnp.asarray(perm, jnp.int32)
 
 
-def conv2d_s2d(
+def _conv2d_s2d_impl(
     x2: jnp.ndarray,
     w: jnp.ndarray,
     b: Optional[jnp.ndarray] = None,
@@ -162,11 +162,12 @@ def conv2d_s2d(
     wm = _remap_weights_s1(w)
     if segments is not None:
         wm = wm[:, :, _segment_permutation(segments, cin), :]
-    # The 4 phase convs each consume x2; without a barrier XLA re-fuses
-    # the producer (s2d transpose / channel concat) into every conv and
-    # recomputes it 4x (measured +2 ms on conv0 at 448x320 b8).
-    x2 = lax.optimization_barrier(x2)
     if cout >= 32 or shift == 0:
+        # The 4 phase convs each consume x2; without a barrier XLA re-fuses
+        # the producer (s2d transpose / channel concat) into every conv and
+        # recomputes it 4x (measured +2 ms on conv0 at 448x320 b8). The
+        # merged branch below has a single consumer — no barrier there.
+        x2 = lax.optimization_barrier(x2)
         # One conv per output phase with per-side padding so each output
         # lands tile-aligned at (H2, W2) — slicing a merged (H2+1, W2+1)
         # grid costs ~2.5 ms in relayouts at 448×320·b8 when Cout is large;
@@ -207,7 +208,31 @@ def conv2d_s2d(
     return out.astype(in_dtype)
 
 
-def deconv2d_s2d(
+def _deconv_phase_weights(w: jnp.ndarray) -> jnp.ndarray:
+    """(4,4,Cout,Cin) deconv weights → (2,2,Cin,4·Cout) merged phase-conv
+    weights (the deconv2d_ps tap algebra: phase 0 uses taps (3,1), phase 1
+    uses (2,0) per dimension)."""
+    cin = w.shape[3]
+    cout = w.shape[2]
+    kidx = [[3, 1], [2, 0]]
+    w_ps = jnp.stack(
+        [
+            jnp.stack(
+                [
+                    jnp.stack([w[kidx[di][a], kidx[dj][bb]] for bb in range(2)], axis=0)
+                    for a in range(2)
+                ],
+                axis=0,
+            )
+            for di in range(2)
+            for dj in range(2)
+        ],
+        axis=-1,
+    )  # (2, 2, Cout, Cin, 4)
+    return jnp.transpose(w_ps, (0, 1, 3, 4, 2)).reshape(2, 2, cin, 4 * cout)
+
+
+def _deconv2d_s2d_impl(
     x: jnp.ndarray, w: jnp.ndarray, b: Optional[jnp.ndarray] = None
 ) -> jnp.ndarray:
     """k=4/s=2/p=1 deconvolution from plain half-res input (B,H2,W2,Cin) to
@@ -226,22 +251,7 @@ def deconv2d_s2d(
         x = x.astype(w.dtype)
     n, h2, w2_, cin = x.shape
     cout = w.shape[2]
-    kidx = [[3, 1], [2, 0]]
-    w_ps = jnp.stack(
-        [
-            jnp.stack(
-                [
-                    jnp.stack([w[kidx[di][a], kidx[dj][bb]] for bb in range(2)], axis=0)
-                    for a in range(2)
-                ],
-                axis=0,
-            )
-            for di in range(2)
-            for dj in range(2)
-        ],
-        axis=-1,
-    )  # (2, 2, Cout, Cin, 4)
-    w_ps = jnp.transpose(w_ps, (0, 1, 3, 4, 2)).reshape(2, 2, cin, 4 * cout)
+    w_ps = _deconv_phase_weights(w)
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
     co = lax.conv_general_dilated(
         xp, w_ps, (1, 1), "VALID",
@@ -257,3 +267,135 @@ def deconv2d_s2d(
                 o = o + b.astype(o.dtype)
             phases.append(o.astype(in_dtype))
     return jnp.concatenate(phases, axis=-1)
+
+
+# -- Pallas routing ---------------------------------------------------------
+# On TPU the merged convs run as the fused Pallas kernel
+# (ops/pallas/s2d_conv.py): tap-accumulated row matmuls + in-register phase
+# extraction. XLA keeps the backward (custom VJP below) and every
+# non-accelerator/odd-geometry case.
+
+import functools
+
+import jax
+
+
+def _pallas_ok() -> bool:
+    """Opt-in only: the Pallas kernel (ops/pallas/s2d_conv.py) measured
+    SLOWER than XLA's lowering on every fusion-net shape (e.g. inter_conv0
+    2.5 vs 1.7 ms, conv1-s2 1.7 vs 0.9 at 448x320 b8 bf16) — the sublane-
+    shifted tap loads relayout more VMEM traffic than XLA's conv spends on
+    phase slicing. Kept as an experimental path; XLA is the default."""
+    import os
+
+    if os.environ.get("FLOWNET2_TPU_S2D_CONV", "") != "pallas":
+        return False
+    return jax.default_backend() in ("tpu", "axon")
+
+
+def _conv2d_s2d_xla(x2, w, b, stride, segments):
+    return _conv2d_s2d_impl(x2, w, b, stride=stride, segments=segments)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _conv2d_s2d_routed(x2, w, b, stride, segments):
+    from flownet2_tpu.ops.pallas.s2d_conv import matmul_conv_pallas
+
+    k = w.shape[0]
+    n, h2, w2_, _ = x2.shape
+    cin = w.shape[2]
+    cout = w.shape[3]
+    r, wk, p, shift = _block_geometry(k)
+    if stride == 2:
+        wm = _remap_weights_s2(w)
+        if segments is not None:
+            wm = wm[:, :, _segment_permutation(segments, cin), :]
+        xp = jnp.pad(x2, ((0, 0), (p, p), (p, p), (0, 0)))
+        return matmul_conv_pallas(
+            xp, wm, b if b is not None else jnp.zeros((cout,), jnp.float32),
+            shift=0, phases=1, out_rows=h2, out_cols=w2_,
+        )
+    wm = _remap_weights_s1(w)
+    if segments is not None:
+        wm = wm[:, :, _segment_permutation(segments, cin), :]
+    xp = jnp.pad(x2, ((0, 0), (p, p), (p, p), (0, 0)))
+    bias = jnp.tile(b, 4) if b is not None else jnp.zeros((4 * cout,), jnp.float32)
+    return matmul_conv_pallas(
+        xp, wm, bias, shift=shift, phases=4, out_rows=h2, out_cols=w2_,
+    )
+
+
+def _conv2d_s2d_fwd(x2, w, b, stride, segments):
+    return _conv2d_s2d_routed(x2, w, b, stride, segments), (x2, w, b)
+
+
+def _conv2d_s2d_bwd(stride, segments, res, g):
+    x2, w, b = res
+    _, vjp = jax.vjp(
+        lambda x2, w, b: _conv2d_s2d_xla(x2, w, b, stride, segments), x2, w, b
+    )
+    return vjp(g)
+
+
+_conv2d_s2d_routed.defvjp(_conv2d_s2d_fwd, _conv2d_s2d_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=())
+def _deconv2d_s2d_routed(x, w, b):
+    from flownet2_tpu.ops.pallas.s2d_conv import matmul_conv_pallas
+
+    n, h2, w2_, cin = x.shape
+    cout = w.shape[2]
+    w_ps = _deconv_phase_weights(w)  # (2, 2, Cin, 4*Cout)
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    bias = jnp.tile(b, 4) if b is not None else jnp.zeros((4 * cout,), jnp.float32)
+    return matmul_conv_pallas(
+        xp, w_ps, bias, shift=1, phases=4, out_rows=h2, out_cols=w2_,
+    )
+
+
+def _deconv2d_s2d_fwd(x, w, b):
+    return _deconv2d_s2d_routed(x, w, b), (x, w, b)
+
+
+def _deconv2d_s2d_bwd(res, g):
+    x, w, b = res
+    _, vjp = jax.vjp(lambda x, w, b: _deconv2d_s2d_impl(x, w, b), x, w, b)
+    return vjp(g)
+
+
+_deconv2d_s2d_routed.defvjp(_deconv2d_s2d_fwd, _deconv2d_s2d_bwd)
+
+
+def conv2d_s2d(
+    x2: jnp.ndarray,
+    w: jnp.ndarray,
+    b: Optional[jnp.ndarray] = None,
+    *,
+    stride: int = 1,
+    segments=None,
+) -> jnp.ndarray:
+    """k×k (odd k, pad k//2) convolution evaluated in the s2d domain — see
+    _conv2d_s2d_impl for the semantics. On TPU the forward runs as the
+    fused Pallas kernel; the backward (and every other backend) takes the
+    XLA formulation."""
+    if _pallas_ok() and b is not None:
+        in_dtype = x2.dtype
+        if x2.dtype != w.dtype:
+            x2 = x2.astype(w.dtype)
+        seg = tuple(segments) if segments is not None else None
+        return _conv2d_s2d_routed(x2, w, b, stride, seg).astype(in_dtype)
+    return _conv2d_s2d_impl(x2, w, b, stride=stride, segments=segments)
+
+
+def deconv2d_s2d(
+    x: jnp.ndarray, w: jnp.ndarray, b: Optional[jnp.ndarray] = None
+) -> jnp.ndarray:
+    """k=4/s=2/p=1 deconv → s2d of the full-res output — see
+    _deconv2d_s2d_impl. Same Pallas/XLA routing as conv2d_s2d."""
+    if _pallas_ok() and b is not None:
+        in_dtype = x.dtype
+        if x.dtype != w.dtype:
+            x = x.astype(w.dtype)
+        return _deconv2d_s2d_routed(x, w, b).astype(in_dtype)
+    return _deconv2d_s2d_impl(x, w, b)

@@ -67,3 +67,55 @@ def test_flow_warp_pallas_bf16(rng):
     np.testing.assert_allclose(
         np.asarray(got, np.float32), np.asarray(ref, np.float32), atol=3e-2
     )
+
+
+@pytest.mark.parametrize(
+    "k,stride,cout", [(3, 1, 16), (3, 1, 64), (5, 1, 8), (3, 2, 32), (7, 2, 24)]
+)
+def test_s2d_conv_pallas_matches_xla(rng, k, stride, cout):
+    """The experimental merged-s2d-conv kernel (opt-in, ops/pallas/s2d_conv)
+    matches the XLA formulation for every geometry class it claims."""
+    from unittest import mock
+
+    import jax.experimental.pallas as pl
+
+    from flownet2_tpu.ops import s2d as S
+    import flownet2_tpu.ops.pallas.s2d_conv as SC
+
+    orig = pl.pallas_call
+
+    def interp(*a, **kw):
+        kw["interpret"] = True
+        return orig(*a, **kw)
+
+    cin = 11
+    x = jnp.asarray(rng.standard_normal((2, 34, 46, 4 * cin)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((k, k, cin, cout)) * 0.1, jnp.float32)
+    b = jnp.asarray(rng.standard_normal((cout,)), jnp.float32)
+    ref = S._conv2d_s2d_impl(x, w, b, stride=stride)
+    with mock.patch.object(SC.pl, "pallas_call", interp):
+        got = S._conv2d_s2d_routed(x, w, b, stride, None)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-3)
+
+
+def test_s2d_deconv_pallas_matches_xla(rng):
+    from unittest import mock
+
+    import jax.experimental.pallas as pl
+
+    from flownet2_tpu.ops import s2d as S
+    import flownet2_tpu.ops.pallas.s2d_conv as SC
+
+    orig = pl.pallas_call
+
+    def interp(*a, **kw):
+        kw["interpret"] = True
+        return orig(*a, **kw)
+
+    x = jnp.asarray(rng.standard_normal((2, 20, 28, 10)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((4, 4, 6, 10)) * 0.1, jnp.float32)
+    b = jnp.asarray(rng.standard_normal((6,)), jnp.float32)
+    ref = S._deconv2d_s2d_impl(x, w, b)
+    with mock.patch.object(SC.pl, "pallas_call", interp):
+        got = S._deconv2d_s2d_routed(x, w, b)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-3)
