@@ -109,3 +109,18 @@ def test_plot_training_log(tmp_path):
 
     assert main([str(log), "--out", str(tmp_path / "x.png")]) == 0
     assert (tmp_path / "x.png").stat().st_size > 0
+
+
+def test_summarize_tool():
+    """summarize (reference tools/extra/summarize.py) tabulates layers and
+    counts params; FlowNet2 totals ~162.5M — the paper's model size."""
+    import io
+
+    from flownet2_tpu.tools.summarize import summarize
+
+    buf = io.StringIO()
+    total = summarize("flownet2", 64, 128, 1, out=buf)
+    text = buf.getvalue()
+    assert "fusion/predict_flow0" in text and "TOTAL" in text
+    assert 162_000_000 < total < 163_000_000
+    assert "(1, 64, 128, 2)" in text
