@@ -72,6 +72,13 @@ def flow_warp(
     if method == "onehot":
         return flow_warp_onehot(image, flow, fill_value)
     if method == "gather":
+        if jax.default_backend() in ("tpu", "axon"):
+            # The gather formulation's image gradient is a scatter-add,
+            # which FAULTS the TPU runtime on this stack (worker crash,
+            # observed on v5e). Same forward, backward through the exact
+            # f32 one-hot matmul formulation instead (identical math; the
+            # one-hot weights ARE the bilinear taps).
+            return _flow_warp_gather_safe(image, flow, fill_value)
         return flow_warp_gather(image, flow, fill_value)
     raise ValueError(f"unknown flow_warp method {method!r}")
 
@@ -123,7 +130,11 @@ def flow_warp_gather(
 
 
 def flow_warp_onehot(
-    image: jnp.ndarray, flow: jnp.ndarray, fill_value: float = 0.0
+    image: jnp.ndarray,
+    flow: jnp.ndarray,
+    fill_value: float = 0.0,
+    *,
+    compute_dtype=jnp.bfloat16,
 ) -> jnp.ndarray:
     """One-hot MXU formulation: per output row, the horizontal bilinear
     lerp is a (W_out × W_src) two-entry matrix applied to all source rows
@@ -139,7 +150,7 @@ def flow_warp_onehot(
     if flow.shape[:3] != (n, h, w) or flow.shape[3] != 2:
         raise ValueError(f"flow shape {flow.shape} incompatible with image {image.shape}")
     orig_dtype = image.dtype
-    img = image.astype(jnp.bfloat16)
+    img = image.astype(compute_dtype)
 
     xs = lax.broadcasted_iota(jnp.float32, (h, w), 1)
     ys = lax.broadcasted_iota(jnp.float32, (h, w), 0)
@@ -163,7 +174,7 @@ def flow_warp_onehot(
             wcols[None] == (xb_r + 1)[:, :, None]
         ) * ax_r[:, :, None]
         hsel = jnp.einsum(
-            "bls,bhsc->bhlc", oh.astype(jnp.bfloat16), img,
+            "bls,bhsc->bhlc", oh.astype(compute_dtype), img,
             preferred_element_type=jnp.float32,
         )
         # vsel[b, l, h]: vertical two-entry lerp weights per output column
@@ -338,3 +349,36 @@ _flow_warp_pallas_core.defvjp(_fwp_fwd, _fwp_bwd)
 
 def _flow_warp_pallas_vjp(image, flow, fill_value=0.0):
     return _flow_warp_pallas_core(image, flow, fill_value)
+
+
+# -- TPU-safe gather path ---------------------------------------------------
+
+
+@jax.custom_vjp
+def _flow_warp_gather_safe(image, flow, fill_value):
+    return flow_warp_gather(image, flow, fill_value)
+
+
+def _fwg_fwd(image, flow, fill_value):
+    return flow_warp_gather(image, flow, fill_value), (image, flow, fill_value)
+
+
+def _fwg_bwd(res, g):
+    image, flow, fill_value = res
+    # Exact f32 bilinear gradients without any scatter primitive: the
+    # one-hot matmul formulation's taps are the same two-entry bilinear
+    # weights, so its VJP produces the reference formulas
+    # (flow_warp_layer.cpp:119-195) as dense transposed matmuls.
+    _, vjp = jax.vjp(
+        lambda im, fl: flow_warp_onehot(
+            im.astype(jnp.float32), fl.astype(jnp.float32), fill_value,
+            compute_dtype=jnp.float32,
+        ),
+        image,
+        flow,
+    )
+    dimg, dflow = vjp(g.astype(jnp.float32))
+    return dimg.astype(image.dtype), dflow.astype(flow.dtype), None
+
+
+_flow_warp_gather_safe.defvjp(_fwg_fwd, _fwg_bwd)

@@ -345,3 +345,22 @@ def test_flow_warp_windowed_partial_chunk_tall_image(rng):
     got = flow_warp_windowed(img, flow)
     ref = flow_warp_gather(img, flow)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+
+
+def test_flow_warp_gather_safe_grads_match(rng):
+    """The TPU-safe gather backward (exact f32 one-hot VJP — the TPU
+    scatter primitive faults the worker) matches the gather autodiff."""
+    from flownet2_tpu.ops.warp import _flow_warp_gather_safe, flow_warp_gather
+
+    img = jnp.asarray(rng.uniform(0, 1, (2, 12, 20, 3)).astype(np.float32))
+    flow = jnp.asarray(rng.uniform(-3, 3, (2, 12, 20, 2)).astype(np.float32))
+    g = jnp.asarray(rng.standard_normal((2, 12, 20, 3)).astype(np.float32))
+
+    def pull(fn):
+        out, vjp = jax.vjp(lambda a, f: fn(a, f, 0.0), img, flow)
+        return vjp(g)
+
+    da_ref, df_ref = pull(flow_warp_gather)
+    da, df = pull(_flow_warp_gather_safe)
+    np.testing.assert_allclose(np.asarray(da), np.asarray(da_ref), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(df), np.asarray(df_ref), atol=1e-3)
