@@ -68,7 +68,7 @@ def flow_warp(
     if method == "pallas":
         return _flow_warp_pallas_vjp(image, flow, fill_value)
     if method == "windowed":
-        return flow_warp_windowed(image, flow, fill_value)
+        return _flow_warp_windowed_hand(image, flow, fill_value)
     if method == "onehot":
         return flow_warp_onehot(image, flow, fill_value)
     if method == "gather":
@@ -339,8 +339,7 @@ def _fwp_fwd(image, flow, fill_value):
 
 def _fwp_bwd(res, g):
     image, flow, fill_value = res
-    _, vjp = jax.vjp(lambda im, fl: flow_warp_windowed(im, fl, fill_value), image, flow)
-    dimg, dflow = vjp(g)
+    dimg, dflow = _flow_warp_windowed_bwd(image, flow, fill_value, g)
     return dimg, dflow, None
 
 
@@ -382,3 +381,163 @@ def _fwg_bwd(res, g):
 
 
 _flow_warp_gather_safe.defvjp(_fwg_fwd, _fwg_bwd)
+
+
+# -- Hand-derived windowed backward ----------------------------------------
+# Autodiff through the windowed scan materializes per-step one-hot
+# residuals (~GBs at 448x320 b8) and transposes the scan into latency-bound
+# step chains: measured 31 ms fwd+bwd per warp. This backward recomputes the
+# tile geometry (the correlation hand-VJP strategy) and expresses the three
+# gradient contractions per chunk as dense MXU matmuls:
+#   t    = vsel ⊗ g                      (outer, VPU)
+#   dwin = ohᵀ @ t                       (image gradient, into the window)
+#   q    = t @ win                       (→ du via the one-hot derivative)
+#   hsel = oh @ win                      (→ dv likewise)
+# du/dv chain through the same clip saturations autodiff sees (x2 outside
+# [0, size-1] → zero; window-edge-clamped xrel keeps its ax-derivative,
+# matching the one-hot's autodiff exactly).
+
+
+def _flow_warp_windowed_bwd(image, flow, fill_value, g):
+    n, h, w, c = image.shape
+    rt, ck, sw, vw = 8, 256, 384, 64  # keep in sync with flow_warp_windowed
+    orig_img_dtype = image.dtype
+    cdtype = jnp.bfloat16 if image.dtype == jnp.bfloat16 else jnp.float32
+
+    xs = lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    ys = lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    x2 = xs[None] + flow[..., 0].astype(jnp.float32)
+    y2 = ys[None] + flow[..., 1].astype(jnp.float32)
+    valid = (x2 >= 0) & (y2 >= 0) & (x2 < w) & (y2 < h)
+    x2c = jnp.clip(x2, 0.0, w - 1)
+    y2c = jnp.clip(y2, 0.0, h - 1)
+    xb = jnp.minimum(jnp.floor(x2c).astype(jnp.int32), w - 2)
+    yb = jnp.minimum(jnp.floor(y2c).astype(jnp.int32), h - 2)
+    ax = jnp.clip(x2c - xb.astype(jnp.float32), 0.0, 1.0).astype(cdtype)
+    ay = jnp.clip(y2c - yb.astype(jnp.float32), 0.0, 1.0).astype(cdtype)
+    # clip chain: grads vanish once x2/y2 leaves [0, size-1]
+    dumask = ((x2 >= 0) & (x2 <= w - 1)).astype(jnp.float32)
+    dvmask = ((y2 >= 0) & (y2 <= h - 1)).astype(jnp.float32)
+
+    g_eff = jnp.where(valid[..., None], g.astype(cdtype), 0)
+
+    hp = -(-h // rt) * rt
+    wp = -(-w // ck) * ck
+    pad2 = ((0, 0), (0, hp - h), (0, wp - w))
+    big = max(h, w) * 2
+    xb = jnp.pad(xb, pad2, constant_values=big)
+    yb = jnp.pad(yb, pad2, constant_values=big)
+    ax, ay = jnp.pad(ax, pad2), jnp.pad(ay, pad2)
+    g_eff = jnp.pad(g_eff, pad2 + ((0, 0),))
+    him, wim = max(h, vw), max(w, sw)
+    img = jnp.pad(
+        image.astype(cdtype), ((0, 0), (0, him - h), (0, wim - w), (0, 0))
+    )
+
+    nt, nc = hp // rt, wp // ck
+    xb_t = xb.reshape(n, nt, rt, nc, ck)
+    yb_t = yb.reshape(n, nt, rt, nc, ck)
+    x0 = jnp.clip(jnp.min(xb_t, axis=(2, 4)), 0, wim - sw)
+    y0 = jnp.clip(jnp.min(yb_t, axis=(2, 4)), 0, him - vw)
+
+    scols = lax.broadcasted_iota(jnp.int32, (1, 1, sw), 2)
+    vrows = lax.broadcasted_iota(jnp.int32, (1, 1, vw), 2)
+    m = rt * ck
+
+    def tile_step(dimg, inp):
+        xb_r, ax_r, yb_r, ay_r, g_r, x0_r, y0_r = inp
+        dus, dvs = [], []
+        for k in range(nc):
+            win = jax.vmap(
+                lambda im, ry, rx: lax.dynamic_slice(im, (ry, rx, 0), (vw, sw, c))
+            )(img, y0_r[:, k], x0_r[:, k])  # (n, vw, sw, c)
+            xrel = jnp.clip(
+                xb_r[:, :, k] - x0_r[:, k, None, None], 0, sw - 2
+            ).reshape(n, m)
+            yrel = jnp.clip(
+                yb_r[:, :, k] - y0_r[:, k, None, None], 0, vw - 2
+            ).reshape(n, m)
+            axk = ax_r[:, :, k].reshape(n, m)[..., None]
+            ayk = ay_r[:, :, k].reshape(n, m)[..., None]
+            gk = g_r[:, :, k].reshape(n, m, c)
+            oh = (
+                (scols == xrel[..., None]) * (1 - axk)
+                + (scols == xrel[..., None] + 1) * axk
+            ).astype(cdtype)
+            vsel = (
+                (vrows == yrel[..., None]) * (1 - ayk)
+                + (vrows == yrel[..., None] + 1) * ayk
+            ).astype(cdtype)
+
+            t = (vsel[..., None] * gk[:, :, None, :])  # (n, m, vw, c)
+            dwin = jnp.einsum(
+                "bms,bmvc->bvsc", oh, t, preferred_element_type=jnp.float32
+            )
+            q = jnp.einsum(
+                "bmvc,bvsc->bms", t, win, preferred_element_type=jnp.float32
+            )
+            doh = (scols == xrel[..., None] + 1).astype(jnp.float32) - (
+                scols == xrel[..., None]
+            ).astype(jnp.float32)
+            du_k = jnp.sum(q * doh, axis=-1)  # (n, m)
+            hsel = jnp.einsum(
+                "bms,bvsc->bmvc", oh, win, preferred_element_type=jnp.float32
+            )
+            e = jnp.sum(hsel * gk[:, :, None, :].astype(jnp.float32), axis=-1)
+            dvsel = (vrows == yrel[..., None] + 1).astype(jnp.float32) - (
+                vrows == yrel[..., None]
+            ).astype(jnp.float32)
+            dv_k = jnp.sum(e * dvsel, axis=-1)  # (n, m)
+            dus.append(du_k.reshape(n, rt, ck))
+            dvs.append(dv_k.reshape(n, rt, ck))
+
+            # accumulate the window gradient (per-item dynamic updates —
+            # NO scatter primitive: it faults the TPU runtime, see
+            # _flow_warp_gather_safe)
+            for bi in range(n):
+                cur = lax.dynamic_slice(
+                    dimg[bi], (y0_r[bi, k], x0_r[bi, k], 0), (vw, sw, c)
+                )
+                dimg = dimg.at[bi].set(
+                    lax.dynamic_update_slice(
+                        dimg[bi], cur + dwin[bi], (y0_r[bi, k], x0_r[bi, k], 0)
+                    )
+                )
+        return dimg, (jnp.concatenate(dus, axis=2), jnp.concatenate(dvs, axis=2))
+
+    per_tile = (
+        jnp.moveaxis(xb_t, 1, 0),
+        jnp.moveaxis(ax.reshape(n, nt, rt, nc, ck), 1, 0),
+        jnp.moveaxis(yb_t, 1, 0),
+        jnp.moveaxis(ay.reshape(n, nt, rt, nc, ck), 1, 0),
+        jnp.moveaxis(g_eff.reshape(n, nt, rt, nc, ck, c), 1, 0),
+        jnp.moveaxis(x0, 1, 0),
+        jnp.moveaxis(y0, 1, 0),
+    )
+    dimg0 = jnp.zeros((n, him, wim, c), jnp.float32)
+    dimg, (du_t, dv_t) = lax.scan(tile_step, dimg0, per_tile)
+    du = jnp.transpose(du_t, (1, 0, 2, 3)).reshape(n, hp, wp)[:, :h, :w]
+    dv = jnp.transpose(dv_t, (1, 0, 2, 3)).reshape(n, hp, wp)[:, :h, :w]
+    dflow = jnp.stack([du * dumask, dv * dvmask], axis=-1)
+    return (
+        dimg[:, :h, :w].astype(orig_img_dtype),
+        dflow.astype(flow.dtype),
+    )
+
+
+@jax.custom_vjp
+def _flow_warp_windowed_hand(image, flow, fill_value):
+    return flow_warp_windowed(image, flow, fill_value)
+
+
+def _fww_fwd(image, flow, fill_value):
+    return flow_warp_windowed(image, flow, fill_value), (image, flow, fill_value)
+
+
+def _fww_bwd(res, g):
+    image, flow, fill_value = res
+    dimg, dflow = _flow_warp_windowed_bwd(image, flow, fill_value, g)
+    return dimg, dflow, None
+
+
+_flow_warp_windowed_hand.defvjp(_fww_fwd, _fww_bwd)

@@ -364,3 +364,21 @@ def test_flow_warp_gather_safe_grads_match(rng):
     da, df = pull(_flow_warp_gather_safe)
     np.testing.assert_allclose(np.asarray(da), np.asarray(da_ref), atol=1e-4)
     np.testing.assert_allclose(np.asarray(df), np.asarray(df_ref), atol=1e-3)
+
+
+def test_flow_warp_windowed_hand_vjp_matches_autodiff(rng):
+    """The hand-derived windowed backward (used by the pallas/windowed
+    training paths) equals autodiff through flow_warp_windowed, including
+    invalid pixels and the clip saturation chain."""
+    from flownet2_tpu.ops.warp import _flow_warp_windowed_hand, flow_warp_windowed
+
+    img = jnp.asarray(rng.uniform(0, 1, (2, 24, 40, 3)).astype(np.float32))
+    flow = jnp.asarray(rng.uniform(-5, 5, (2, 24, 40, 2)).astype(np.float32))
+    flow = flow.at[0, 1, 1, 0].set(300.0)  # invalid -> zero grads
+    g = jnp.asarray(rng.standard_normal((2, 24, 40, 3)).astype(np.float32))
+    _, vjp = jax.vjp(lambda a, f: flow_warp_windowed(a, f, 0.0), img, flow)
+    da_ref, df_ref = vjp(g)
+    _, vjp2 = jax.vjp(lambda a, f: _flow_warp_windowed_hand(a, f, 0.0), img, flow)
+    da, df = vjp2(g)
+    np.testing.assert_allclose(np.asarray(da), np.asarray(da_ref), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(df), np.asarray(df_ref), atol=1e-5)
