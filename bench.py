@@ -50,17 +50,32 @@ def bench_inference(h, w, batch, dtype, n1, n2):
     return batch / (ms / 1000)
 
 
-def bench_train(h, w, batch, n1, n2):
-    """FlowNetC train step (fwd+bwd+update), bf16 compute / f32 master."""
+def bench_train(h, w, batch, n1, n2, *, model="flownetc"):
+    """Train step (fwd+bwd+update), bf16 compute / f32 master.
+
+    model="flownetc": the siamese+correlation net (the r1 metric).
+    model="s1": the FlowNet2-S1 cascade stage — frozen FlowNetC, full-res
+    FlowWarp (fwd + the hand-VJP backward) and the S1 refinement net, i.e.
+    the stage-wise training recipe's hot loop."""
     import optax
 
+    from flownet2_tpu.models import flownet2_init
     from flownet2_tpu.models.flownet_c import flownet_c_init
-    from flownet2_tpu.train.objectives import flownet_c_loss, with_compute_dtype
+    from flownet2_tpu.train.objectives import (
+        LOSSES,
+        flownet_c_loss,
+        with_compute_dtype,
+    )
 
-    params = flownet_c_init(jax.random.PRNGKey(0))
+    if model == "s1":
+        params = flownet2_init(jax.random.PRNGKey(0))
+        loss_base = LOSSES["flownet2-s1"]
+    else:
+        params = flownet_c_init(jax.random.PRNGKey(0))
+        loss_base = flownet_c_loss
     tx = optax.sgd(1e-4, momentum=0.9)
     opt_state = tx.init(params)
-    loss_fn = with_compute_dtype(flownet_c_loss, jnp.bfloat16)
+    loss_fn = with_compute_dtype(loss_base, jnp.bfloat16)
     rng = np.random.default_rng(0)
     img0 = jnp.asarray(rng.uniform(0, 255, (batch, h, w, 3)), jnp.float32)
     img1 = jnp.asarray(rng.uniform(0, 255, (batch, h, w, 3)), jnp.float32)
@@ -103,13 +118,15 @@ def main():
         main_pps = bench_inference(320, 448, 8, dtype, 3, 13)
         sintel_pps = bench_inference(448, 1024, 4, dtype, 3, 13)
         train_pps = bench_train(320, 448, 8, 3, 13)
+        train_s1_pps = bench_train(320, 448, 8, 3, 13, model="s1")
         extra = {
             "sintel_1024x448_pairs_per_sec": round(sintel_pps, 2),
             "train_flownetc_448x320_pairs_per_sec": round(train_pps, 2),
+            "train_s1_stage_448x320_pairs_per_sec": round(train_s1_pps, 2),
             "sintel_vs_baseline": round(sintel_pps / REF_PAIRS_PER_SEC, 2),
         }
     else:  # CPU smoke mode
-        main_pps = bench_inference(64, 96, 1, dtype, 1, 3)
+        main_pps = bench_inference(64, 128, 1, dtype, 1, 3)  # dims must be /64-able
         extra = {}
 
     print(
