@@ -50,10 +50,13 @@ def fusion_apply(
     """x: (N, H, W, 11) → {"flow0", "flow1", "flow2"}; flow0 is final.
 
     layout="s2d" evaluates the full-resolution head in the space-to-depth
-    domain (ops/s2d.py) — an exact rewrite that takes the fusion net from
-    11.7 to ~5 ms at 448×320·b8 bf16 on v5e (full-res low-channel convs are
-    the cascade's slowest ops under XLA's native lowering). "auto" picks
-    s2d on accelerators when H, W are even; "plain" is the oracle path.
+    domain (ops/s2d.py) — an exact rewrite of the full-res low-channel
+    convs, the cascade's slowest op class under XLA's native lowering
+    (~11.4 vs 12.0 ms whole-net at 448×320·b8 bf16 on v5e; the individual
+    rewritten ops are 1.5-3× faster but the net is dominated by the
+    MXU's 128-lane padding on Cout∈{16,32,64} — see DESIGN_NOTES).
+    "auto" picks s2d on accelerators when H, W are even; "plain" is the
+    oracle path.
     """
     if layout == "auto":
         layout = (

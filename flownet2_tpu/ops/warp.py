@@ -10,9 +10,11 @@ flow_warp_layer.cu. Conventions reproduced exactly:
 - invalid pixels are filled with 0.0 or NaN (FlowWarpParameter.fill_value,
   caffe.proto:553-560);
 - gradients flow to BOTH the image (bilinear scatter) and the flow
-  (image-gradient dot), flow_warp_layer.cpp:119-195. Plain JAX autodiff of
-  this gather formulation produces exactly those formulas, so no custom VJP
-  is required.
+  (image-gradient dot), flow_warp_layer.cpp:119-195. Autodiff of the gather
+  formulation produces exactly those formulas; on TPU the image gradient's
+  scatter-add faults the runtime, so the gather method's backward routes
+  through the exact f32 one-hot matmuls, and the fast paths use the
+  hand-derived windowed VJP (_flow_warp_windowed_bwd).
 
 TPU-native design: ONE gather per output pixel fetching the whole 2×2×C
 bilinear footprint as a contiguous patch (48B for C=3), instead of four
@@ -53,8 +55,9 @@ def flow_warp(
       "pallas"   — the same windowed algorithm as ONE fused Pallas program
                    (ops/pallas/warp.py; default fast path — kills the XLA
                    version's 80-step scan dispatch overhead). Gradients
-                   route through the XLA windowed formulation via a
-                   custom VJP, so training works identically;
+                   come from the hand-derived windowed VJP (3× faster than
+                   autodiff through the scan), so training works
+                   identically;
       "auto"     — "pallas" for bf16 images on a TPU, else "gather".
                    Override globally with FLOWNET2_TPU_WARP.
     """
@@ -321,8 +324,8 @@ def flow_warp_windowed(
 
 
 # -- Pallas fast path -------------------------------------------------------
-# Forward: the fused kernel (ops/pallas/warp.py). Backward: the XLA windowed
-# formulation's gradients (same windowed approximation family), so training
+# Forward: the fused kernel (ops/pallas/warp.py). Backward: the hand-derived
+# windowed gradients (same windowed approximation family), so training
 # through method="pallas" needs no hand-written backward kernel.
 
 
