@@ -53,36 +53,44 @@ def _kernel(
 ):
     bidx = pl.program_id(0)
     t = pl.program_id(1)
+    kc = pl.program_id(2)
     rows = co_ref.shape[0]  # = bs + shift rounded to RG (bs chosen so exact)
-    wctp = co_ref.shape[1]  # 8-aligned >= wout + shift
+    wctp = co_ref.shape[1]  # 8-aligned >= col-block + shift
     rows_in = win_ref.shape[1]
+    cols_in = win_ref.shape[2]
     nall = w_ref.shape[2]
     c = win_ref.shape[3]
+    cb = wout  # output columns per block
 
-    # Double-buffered window DMA across grid cells: prefetch cell i+1's
-    # rows while computing cell i (the serial variant left the MXU idle
-    # for the full HBM fetch — up to 4.6 MB/cell).
+    # Double-buffered window DMA across grid cells (row x column blocks):
+    # prefetch cell i+1's window while computing cell i (the serial variant
+    # left the MXU idle for the full HBM fetch — up to 4.6 MB/cell).
     nt_g = pl.num_programs(1)
-    i = bidx * nt_g + t
+    nk_g = pl.num_programs(2)
+    i = (bidx * nt_g + t) * nk_g + kc
 
-    def dma(slot, bi, ti):
+    def dma(slot, bi, ti, ki):
         return pltpu.make_async_copy(
-            x_ref.at[bi, pl.ds(ti * bs, rows_in)], win_ref.at[slot], sem.at[slot]
+            x_ref.at[bi, pl.ds(ti * bs, rows_in), pl.ds(ki * cb, cols_in)],
+            win_ref.at[slot],
+            sem.at[slot],
         )
 
     @pl.when(i == 0)
     def _():
-        dma(0, bidx, t).start()
+        dma(0, bidx, t, kc).start()
 
-    t1 = t + 1
+    k1 = kc + 1
+    t1 = jnp.where(k1 == nk_g, t + 1, t)
+    kn = jnp.where(k1 == nk_g, 0, k1)
     bn = jnp.where(t1 == nt_g, bidx + 1, bidx)
     tn = jnp.where(t1 == nt_g, 0, t1)
 
-    @pl.when(i + 1 < pl.num_programs(0) * nt_g)
+    @pl.when(i + 1 < pl.num_programs(0) * nt_g * nk_g)
     def _():
-        dma((i + 1) % 2, bn, tn).start()
+        dma((i + 1) % 2, bn, tn, kn).start()
 
-    dma(i % 2, bidx, t).wait()
+    dma(i % 2, bidx, t, kc).wait()
     slot = i % 2
 
     bias = b_ref[0].astype(jnp.float32)
@@ -100,7 +108,9 @@ def _kernel(
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
-        co_ref[pl.ds(g * RG, RG)] = (acc + bias[None, :]).reshape(RG, wctp, nall)
+        co_ref[pl.ds(g * RG, RG)] = (
+            (acc + bias[None, :]).reshape(RG, wctp, nall).astype(co_ref.dtype)
+        )
 
     if phases == 1:
         out_ref[0] = co_ref[pl.ds(0, bs), pl.ds(0, wout), :].astype(out_ref.dtype)
@@ -145,19 +155,29 @@ def matmul_conv_pallas(
     cout = nall // phases if phases == 4 else nall
     cdtype = xp.dtype
 
-    # Block size: bs + shift must be a multiple of RG so the row-grouped
-    # matmuls cover exactly the co rows needed (no wasted compute).
+    # Block sizes: bs + shift must be a multiple of RG so the row-grouped
+    # matmuls cover exactly the co rows needed (no wasted compute); columns
+    # block at <=256 so the per-cell VMEM footprint stays inside ~13 MB at
+    # Sintel-width inputs (a full 512-col block OOMs VMEM).
     bs = 3 * RG - shift
     rows = bs + shift
     nt = -(-out_rows // bs)
-    wctp = -(-(out_cols + shift) // 8) * 8  # co width, 8-aligned sublanes
-
-    # Input alignment for the row-block DMA: W (sublanes) to 8 with room
-    # for the bb-shifted wctp slices, C (lanes) to 128 (zero-weight pads).
-    hpad = nt * bs + wk - 1 + shift
-    wpad = max(-(-wp // 8) * 8, wctp + wk - 1)
-    wpad = -(-wpad // 8) * 8
     cpad = -(-c // 128) * 128
+    # Budget the double-buffered window to ~9.5 MB so the cell (window +
+    # co + out blocks) stays inside the 16 MB VMEM limit at any C.
+    ebytes = 2 if cdtype == jnp.bfloat16 else 4
+    percol = 2 * (rows + wk - 1) * cpad * ebytes
+    cb = max(64, min(256, (9_500_000 // percol - wk - shift) // 8 * 8))
+    cb = min(cb, -(-out_cols // 8) * 8)
+    nk = -(-out_cols // cb)
+    wctp = -(-(cb + shift) // 8) * 8  # co width per block, 8-aligned
+
+    # Input alignment for the block DMA: W (sublanes) to 8 with room for
+    # the bb-shifted wctp slices in the LAST column block, C (lanes) to
+    # 128 (zero-weight pads).
+    hpad = nt * bs + wk - 1 + shift
+    wpad = max(-(-wp // 8) * 8, (nk - 1) * cb + wctp + wk - 1)
+    wpad = -(-wpad // 8) * 8
     if hp < hpad or wp < wpad or c < cpad:
         xp = jnp.pad(
             xp,
@@ -168,31 +188,36 @@ def matmul_conv_pallas(
         c = cpad
 
     w2 = wm.reshape(wk * wk, c, nall)
+    cols_in = wctp + wk - 1
+    cols_in = -(-cols_in // 8) * 8
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
-        grid=(b, nt),
+        grid=(b, nt, nk),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, bs, out_cols, nall), lambda bi, t: (bi, t, 0, 0),
+            (1, bs, cb, nall), lambda bi, t, ki: (bi, t, ki, 0),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, rows + wk - 1, xp.shape[2], c), cdtype),
-            pltpu.VMEM((rows, wctp, nall), jnp.float32),
+            pltpu.VMEM((2, rows + wk - 1, cols_in, c), cdtype),
+            # co holds the biased (pre-phase-extraction) result in the
+            # OUTPUT dtype — f32 here pushed conv0's Sintel-width cell over
+            # the 16 MB VMEM limit; accumulation stays f32 in `acc`.
+            pltpu.VMEM((rows, wctp, nall), cdtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     out = pl.pallas_call(
         partial(
-            _kernel, wk=wk, shift=shift, phases=phases, wout=out_cols,
+            _kernel, wk=wk, shift=shift, phases=phases, wout=cb,
             cout=cout, bs=bs,
         ),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, nt * bs, out_cols, nall), cdtype),
+        out_shape=jax.ShapeDtypeStruct((b, nt * bs, nk * cb, nall), cdtype),
         interpret=interpret,
     )(xp, w2.astype(cdtype), bias.astype(jnp.float32)[None, :])
-    return out[:, :out_rows]
+    return out[:, :out_rows, :out_cols]

@@ -280,17 +280,22 @@ import functools
 import jax
 
 
-def _pallas_ok() -> bool:
-    """Opt-in only: the Pallas kernel (ops/pallas/s2d_conv.py) measured
-    SLOWER than XLA's lowering on every fusion-net shape (e.g. inter_conv0
-    2.5 vs 1.7 ms, conv1-s2 1.7 vs 0.9 at 448x320 b8 bf16) — the sublane-
-    shifted tap loads relayout more VMEM traffic than XLA's conv spends on
-    phase slicing. Kept as an experimental path; XLA is the default."""
+def _pallas_ok(width: int) -> bool:
+    """Width-dependent routing, measured on v5e (448x320 b8 / 1024x448 b4
+    bf16): XLA's conv lowering wins at narrow s2d-domain widths (e.g.
+    inter_conv0 1.5 vs 2.2 ms at W2=224) but degrades super-linearly with
+    width, where the Pallas kernel scales linearly and wins on every
+    fusion shape (conv0 1.8 vs 3.3, inter_conv0 4.4 vs 5.6, conv1-s2 2.3
+    vs 3.0, deconv0 2.6 vs 3.2 ms at W2=512). Auto-route by width;
+    FLOWNET2_TPU_S2D_CONV=pallas|xla forces either path."""
     import os
 
-    if os.environ.get("FLOWNET2_TPU_S2D_CONV", "") != "pallas":
+    mode = os.environ.get("FLOWNET2_TPU_S2D_CONV", "")
+    if mode == "xla":
         return False
-    return jax.default_backend() in ("tpu", "axon")
+    if jax.default_backend() not in ("tpu", "axon"):
+        return False
+    return mode == "pallas" or width > 256
 
 
 def _conv2d_s2d_xla(x2, w, b, stride, segments):
@@ -379,7 +384,7 @@ def conv2d_s2d(
     _conv2d_s2d_impl for the semantics. On TPU the forward runs as the
     fused Pallas kernel; the backward (and every other backend) takes the
     XLA formulation."""
-    if _pallas_ok() and b is not None:
+    if _pallas_ok(x2.shape[2]) and b is not None:
         in_dtype = x2.dtype
         if x2.dtype != w.dtype:
             x2 = x2.astype(w.dtype)
@@ -393,7 +398,7 @@ def deconv2d_s2d(
 ) -> jnp.ndarray:
     """k=4/s=2/p=1 deconv → s2d of the full-res output — see
     _deconv2d_s2d_impl. Same Pallas/XLA routing as conv2d_s2d."""
-    if _pallas_ok() and b is not None:
+    if _pallas_ok(x.shape[2]) and b is not None:
         in_dtype = x.dtype
         if x.dtype != w.dtype:
             x = x.astype(w.dtype)
