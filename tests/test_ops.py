@@ -382,3 +382,4 @@ def test_flow_warp_windowed_hand_vjp_matches_autodiff(rng):
     da, df = vjp2(g)
     np.testing.assert_allclose(np.asarray(da), np.asarray(da_ref), atol=1e-5)
     np.testing.assert_allclose(np.asarray(df), np.asarray(df_ref), atol=1e-5)
+
