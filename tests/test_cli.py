@@ -88,3 +88,18 @@ def test_run_flownet_many_rejects_bad_listfile(tmp_path):
     bad.write_text("only two fields\n")
     with pytest.raises(SystemExit):
         main(["random", "flownets", str(bad)])
+
+
+def test_time_cmd_breakdown_smoke(capsys):
+    """time_cmd --breakdown (the caffe-time per-layer report) runs end to
+    end and prints the per-stage table. Tiny shapes on CPU — the numbers
+    are noise there; this validates the plumbing."""
+    from flownet2_tpu.cli.time_cmd import main
+
+    rc = main(
+        ["--model", "flownet2", "--height", "64", "--width", "128",
+         "--batch", "1", "--iterations", "1", "--breakdown"]
+    )
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "fusion net" in out and "sum of stages" in out
