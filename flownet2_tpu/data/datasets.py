@@ -208,19 +208,31 @@ _FACTORIES = {
 
 
 def open_dataset(name: str, root: str, **kw):
-    """Open a named dataset layout, or — when ``name`` is "flowrec" or
-    ``root`` points at a .flowrec file — the packed record format."""
-    if name.lower() == "flowrec" or root.endswith(".flowrec"):
+    """Open a named dataset layout, or — when ``name`` is "flowrec"/"lmdb"
+    or ``name`` is "auto" and ``root`` looks like one — the packed formats.
+
+    An explicitly named dataset (e.g. "flyingchairs") is honored even when
+    ``root`` happens to contain a data.mdb; format sniffing only applies to
+    ``name="auto"`` (or the format names themselves)."""
+    key = name.lower().replace("_", "")
+    auto = key == "auto"
+    if key == "flowrec" or (auto and root.endswith(".flowrec")):
         from flownet2_tpu.data.records import FlowRecordReader
 
         return FlowRecordReader(root)
-    if name.lower() == "lmdb" or root.endswith(".mdb") or os.path.exists(
-        os.path.join(root, "data.mdb")
+    if key == "lmdb" or (
+        auto
+        and (root.endswith(".mdb") or os.path.exists(os.path.join(root, "data.mdb")))
     ):
         from flownet2_tpu.data.lmdb import LmdbFlowDataset
 
         return LmdbFlowDataset(root, **kw)
+    if auto:
+        raise ValueError(
+            f"cannot sniff dataset format at {root!r}; pass an explicit name "
+            f"(known: {sorted(_FACTORIES)}, 'flowrec', 'lmdb')"
+        )
     try:
-        return _FACTORIES[name.lower().replace("_", "")](root, **kw)
+        return _FACTORIES[key](root, **kw)
     except KeyError:
         raise ValueError(f"unknown dataset {name!r}; known: {sorted(_FACTORIES)}")

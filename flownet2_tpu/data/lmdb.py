@@ -60,12 +60,23 @@ class LmdbReader:
         self._f.seek(0, os.SEEK_END)
         self._size = self._f.tell()
 
-        meta = self._read_meta(0)
-        meta1 = self._read_meta(1)
-        if meta1 is not None and (meta is None or meta1["txnid"] > meta["txnid"]):
-            meta = meta1
+        # Meta page 1 lives at file offset == page size; probe the common
+        # sizes (environments created with a non-default psize put meta1 at
+        # that psize, and the meta itself records the true value).
+        meta = None
+        for probe in (4096, 8192, 16384, 32768, 65536, 1024, 2048, 512):
+            m0 = self._read_meta(0, probe)
+            m1 = self._read_meta(1, probe)
+            if m1 is not None and (m0 is None or m1["txnid"] > m0["txnid"]):
+                m0 = m1
+            if m0 is not None and m0["psize"] == probe:
+                meta = m0
+                break
         if meta is None:
-            raise LmdbError(f"{path}: no valid LMDB meta page")
+            raise LmdbError(
+                f"{path}: no valid LMDB meta page (probed page sizes "
+                "512..65536)"
+            )
         self.psize = meta["psize"]
         self.n_entries = meta["entries"]
         self._root = meta["root"]
@@ -80,14 +91,14 @@ class LmdbReader:
 
     # -- file primitives ----------------------------------------------------
 
-    def _read_meta(self, pageno: int) -> Optional[dict]:
+    def _read_meta(self, pageno: int, psize: int = 4096) -> Optional[dict]:
         # Meta layout after the 16B page header: magic u32, version u32,
         # address u64, mapsize u64, mm_dbs[2] (48B each: pad u32, flags u16,
         # depth u16, branch/leaf/overflow pages u64 x3, entries u64, root
         # u64), last_pg u64, txnid u64. psize lives in mm_dbs[0].md_pad.
-        base = pageno * 4096  # meta pages are written at the default psize
+        base = pageno * psize
         self._f.seek(base)
-        raw = self._f.read(4096)
+        raw = self._f.read(psize)
         if len(raw) < PAGEHDRSZ + 120:
             return None
         magic, version = struct.unpack_from("<II", raw, PAGEHDRSZ)
@@ -164,9 +175,15 @@ class LmdbReader:
 # ---------------------------------------------------------------------------
 
 
-def parse_datum(buf: bytes) -> dict:
+def parse_datum(buf: bytes, *, skip_data: bool = False) -> dict:
     """Parse a caffe Datum: channels=1, height=2, width=3, data=4 (bytes),
-    label=5, float_data=6 (repeated float), encoded=7."""
+    label=5, float_data=6 (repeated float), encoded=7.
+
+    ``skip_data=True`` walks past length-delimited payloads (the image/flow
+    blob, field 4, and packed float_data) without materializing them —
+    O(header varints) per record, for label scans (the reference avoids the
+    same cost with a separate preselection file, custom_data_layer.cpp:394-476).
+    """
     out = {"channels": 0, "height": 0, "width": 0, "data": b"", "label": 0,
            "float_data": [], "encoded": False}
     i, n = 0, len(buf)
@@ -199,6 +216,9 @@ def parse_datum(buf: bytes) -> dict:
                 out["encoded"] = bool(v)
         elif wire == 2:
             ln = varint()
+            if skip_data:
+                i += ln
+                continue
             chunk = buf[i : i + ln]
             i += ln
             if field == 4:
@@ -313,9 +333,15 @@ class LmdbFlowDataset:
         return out
 
     def labels(self) -> np.ndarray:
-        """All labels (cheap: header varints only — data blobs untouched
-        unless on overflow pages, which still parse lazily per value)."""
-        return np.asarray([parse_datum(self.db.value(i))["label"] for i in range(len(self))])
+        """All labels. Cheap: the datum parse skips every length-delimited
+        payload (the image/flow blob is never sliced or decoded), so a label
+        scan is O(records), not O(dataset-bytes)."""
+        return np.asarray(
+            [
+                parse_datum(self.db.value(i), skip_data=True)["label"]
+                for i in range(len(self))
+            ]
+        )
 
     def permutation(
         self,
