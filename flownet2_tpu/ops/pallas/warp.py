@@ -19,7 +19,13 @@ Approximation contract (identical shape to flow_warp_windowed, different
 constants): per output tile the bilinear footprint must fit the window.
 Window bases are aligned (y to 8 rows, x to 128 lanes) for Mosaic, so the
 guaranteed budgets are |Δx| <= SW - CK - 129 and |Δy| <= VW - RT - 9
-within one (RT x CK) tile; outliers clamp to the window edge.
+within one (RT x CK) tile; outliers clamp to the window edge. With
+SW=512/CK=256 and VW=80/RT=16 those budgets are 127 px horizontal and
+55 px vertical — matching the hand windowed backward's guarantees
+(ops/warp._flow_warp_windowed_bwd: rt=8/ck=256/sw=384/vw=64, unaligned
+bases → 127/55), so forward and gradient agree on every pixel within
+budget (ADVICE r2 #1: the previous SW=384 made the worst-case horizontal
+budget NEGATIVE, strictly tighter than the backward's).
 
 Layout note: images move through the kernel in NCHW so the (vw, sw)
 window dims are the tiled (sublane, lane) pair — NHWC would put C=3 on
@@ -42,14 +48,18 @@ from jax.experimental.pallas import tpu as pltpu
 # SW-column window. A single-full-width-chunk variant (ck=sw=padded W, no
 # horizontal windowing) measured FASTER in isolation at 448 wide but ~1 ms
 # SLOWER inside the full cascade — keep the windowed geometry everywhere.
+# VW=80 (not 64) buys the 55-px vertical budget that matches the windowed
+# backward; SW=512 (not 384) makes the horizontal budget non-negative
+# (127 px) under 128-aligned bases — see the module docstring.
 RT = 16
-VW = 64
+VW = 80
 
 
 def _geometry(w: int):
     """-> (ck, sw, wim): column chunk, source window, padded image width."""
-    wim = max(-(-w // 128) * 128, 384)
-    return 256, 384, wim
+    sw = 512
+    wim = max(-(-w // 128) * 128, sw)
+    return 256, sw, wim
 
 
 def _warp_kernel(

@@ -496,16 +496,22 @@ def _flow_warp_windowed_bwd(image, flow, fill_value, g):
 
             # accumulate the window gradient (per-item dynamic updates —
             # NO scatter primitive: it faults the TPU runtime, see
-            # _flow_warp_gather_safe)
-            for bi in range(n):
-                cur = lax.dynamic_slice(
-                    dimg[bi], (y0_r[bi, k], x0_r[bi, k], 0), (vw, sw, c)
+            # _flow_warp_gather_safe). A scan over the batch axis keeps the
+            # jaxpr batch-size-independent (VERDICT r2 weak.9: the previous
+            # Python loop unrolled n slice/update pairs per chunk).
+            def acc_one(d, inp):
+                dw, yy, xx, bi = inp
+                cur = lax.dynamic_slice(d, (bi, yy, xx, 0), (1, vw, sw, c))
+                return (
+                    lax.dynamic_update_slice(d, cur + dw[None], (bi, yy, xx, 0)),
+                    None,
                 )
-                dimg = dimg.at[bi].set(
-                    lax.dynamic_update_slice(
-                        dimg[bi], cur + dwin[bi], (y0_r[bi, k], x0_r[bi, k], 0)
-                    )
-                )
+
+            dimg, _ = lax.scan(
+                acc_one,
+                dimg,
+                (dwin, y0_r[:, k], x0_r[:, k], jnp.arange(n, dtype=jnp.int32)),
+            )
         return dimg, (jnp.concatenate(dus, axis=2), jnp.concatenate(dvs, axis=2))
 
     per_tile = (

@@ -46,6 +46,55 @@ def test_flow_warp_pallas_matches_gather(rng):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
 
 
+def test_flow_warp_pallas_adversarial_window_budget(rng):
+    """Large within-tile flow variation at adversarial base alignments must
+    stay EXACT up to the documented budgets (|Δx|<=127, |Δy|<=55 per tile)
+    — ADVICE r2 #1: the old SW=384 geometry had a worst-case-NEGATIVE
+    horizontal budget, silently clamping coherent in-budget flows."""
+    from flownet2_tpu.ops.pallas.warp import flow_warp_pallas
+    from flownet2_tpu.ops.warp import flow_warp_gather
+
+    n, h, w, c = 1, 48, 448, 3
+    img = jnp.asarray(rng.uniform(0, 1, (n, h, w, c)).astype(np.float32))
+    # Base flow pushes sources near 128-alignment boundaries; a high-freq
+    # component spreads the footprint almost the full horizontal budget
+    # inside every (16, 256) tile, plus +-25 px vertically.
+    ys, xs = np.mgrid[0:h, 0:w].astype(np.float32)
+    u = 63.0 * np.sin(xs * 0.37) - 60.0 * np.cos(xs * 0.11)  # spread ~123 px
+    v = 25.0 * np.sin(xs * 0.23 + ys * 0.05)
+    flow = jnp.asarray(np.stack([u, v], -1)[None])
+    got = flow_warp_pallas(img, flow, interpret=True)
+    ref = flow_warp_gather(img, flow)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+
+
+def test_flow_warp_pallas_bwd_agrees_within_budget(rng):
+    """Forward (pallas geometry) and the hand windowed backward use
+    different tile geometries; within the shared 127/55 budget both are
+    exact, so the pallas-path VJP must match the exact gather-path VJP."""
+    import jax
+
+    from flownet2_tpu.ops.warp import _flow_warp_windowed_bwd, flow_warp_gather
+
+    n, h, w, c = 1, 24, 300, 3
+    img = jnp.asarray(rng.uniform(0, 1, (n, h, w, c)).astype(np.float32))
+    ys, xs = np.mgrid[0:h, 0:w].astype(np.float32)
+    # 0.37/0.53 offsets keep source coords off the integer lattice — at
+    # exact-integer sources bilinear has a kink and the one-sided derivative
+    # is implementation-defined (the reference GradientChecker excludes
+    # kinks for the same reason, test_gradient_check_util.hpp).
+    u = 50.0 * np.sin(xs * 0.3) + 0.37
+    v = 20.0 * np.cos(xs * 0.17) + 0.53
+    flow = jnp.asarray(np.stack([u, v], -1)[None])
+    g = jnp.asarray(rng.uniform(-1, 1, (n, h, w, c)).astype(np.float32))
+
+    dimg_w, dflow_w = _flow_warp_windowed_bwd(img, flow, 0.0, g)
+    _, vjp = jax.vjp(lambda im, fl: flow_warp_gather(im, fl), img, flow)
+    dimg_e, dflow_e = vjp(g)
+    np.testing.assert_allclose(np.asarray(dimg_w), np.asarray(dimg_e), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(dflow_w), np.asarray(dflow_e), atol=2e-3)
+
+
 def test_flow_warp_pallas_nan_fill(rng):
     from flownet2_tpu.ops.pallas.warp import flow_warp_pallas
 
