@@ -117,6 +117,8 @@ def main(argv=None) -> int:
         display=args.display,
     )
     solver.install_signal_handlers()
+    for i, m in enumerate(means):
+        solver.register_extra(f"mean{i}", m)
 
     if args.weights:
         from flownet2_tpu.cli.run_flownet import load_weights
@@ -129,12 +131,22 @@ def main(argv=None) -> int:
     base_transform = None if args.no_augment else make_flownet_augmenter(crop_h, crop_w)
     transform = base_transform
     last_batch = {}  # most recent augmented batch, for --write-augmented
-    if base_transform is not None and (means or args.write_augmented):
+    if base_transform is not None and args.write_augmented:
         def transform(batch, rng, _base=base_transform):  # noqa: E306
             batch = _base(batch, rng)
+            last_batch["batch"] = batch
+            return batch
+
+    # The running mean attaches at STEP time (Solver.batch_hook), not in the
+    # prefetching transform: with prefetch depth > 1 a transform-time attach
+    # would hand the device a mean/counter that lags the host mirror by the
+    # queue depth (the reference updates its mean blobs synchronously inside
+    # Forward, data_augmentation_layer.cu:592-635).
+    batch_hook = None
+    if means:
+        def batch_hook(batch):  # noqa: E306
             for m, k in zip(means, ("mean_image0", "mean_image1")):
                 batch = m.attach(batch, key=k)
-            last_batch["batch"] = batch
             return batch
 
     loader = BatchLoader(
@@ -162,7 +174,7 @@ def main(argv=None) -> int:
             for i, m in enumerate(means):
                 m.write_mean(os.path.join(args.write_augmented, f"mean{i}.float3"))
 
-    solver.solve(iter(loader), max_iter=max_iter, on_step=on_step)
+    solver.solve(iter(loader), max_iter=max_iter, on_step=on_step, batch_hook=batch_hook)
     print(f"Optimization done, final smoothed loss {solver.smoothed_loss:.4f}")
     return 0
 

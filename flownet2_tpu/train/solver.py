@@ -147,6 +147,15 @@ class Solver:
         self._loss_window: deque = deque(maxlen=average_loss)
         self._requested_action = None
         self.history: list[tuple[int, float]] = []
+        # host-side state that must snapshot/restore with the TrainState
+        # (e.g. MeanRecompute — the reference stores its running mean as
+        # layer blobs that ride the .caffemodel, data_augmentation_layer
+        # cpp:44-56); objects expose state_dict()/load_state_dict().
+        self._extras: dict[str, Any] = {}
+
+    def register_extra(self, name: str, obj: Any) -> None:
+        """Register host-side state to persist alongside snapshots."""
+        self._extras[name] = obj
 
     # -- signal handling (reference SignalHandler: SIGINT→stop, SIGHUP→snapshot)
     def install_signal_handlers(self, sigint: str = "stop", sighup: str = "snapshot"):
@@ -199,17 +208,25 @@ class Solver:
         max_iter: Optional[int] = None,
         log: Callable[[str], None] = print,
         on_step: Optional[Callable[[int, float, dict], None]] = None,
+        batch_hook: Optional[Callable[[Any], Any]] = None,
     ):
         """The reference Solve/Step loop: train until max_iter, honoring
         display/test/snapshot intervals and signal actions.
 
         ``on_step(iteration, loss, aux)`` runs after every step — the hook
         for host-side state that mirrors in-step computations (e.g. folding
-        ``aug_batch_mean*`` aux into a data.mean.MeanRecompute)."""
+        ``aug_batch_mean*`` aux into a data.mean.MeanRecompute).
+
+        ``batch_hook(batch) -> batch`` runs at STEP time, just before
+        dispatch — unlike a BatchLoader transform, which runs at prefetch
+        time and would attach step-synchronized state (like the running
+        mean) several batches early when prefetch depth > 1."""
         max_iter = self.config.max_iter if max_iter is None else max_iter
         t0 = time.time()
         while self.iteration < max_iter:
             batch = next(data_iter)
+            if batch_hook is not None:
+                batch = batch_hook(batch)
             loss, _aux = self.step(batch)
             if on_step is not None:
                 on_step(self.iteration, loss, _aux)
@@ -250,6 +267,12 @@ class Solver:
         ckptr = ocp.StandardCheckpointer()
         ckptr.save(path, self.state, force=True)
         ckptr.wait_until_finished()
+        if self._extras:
+            blobs = {}
+            for name, obj in self._extras.items():
+                for k, v in obj.state_dict().items():
+                    blobs[f"{name}/{k}"] = np.asarray(v)
+            np.savez(path + "_extra.npz", **blobs)
         return path
 
     def restore(self, path: str):
@@ -257,6 +280,17 @@ class Solver:
 
         ckptr = ocp.StandardCheckpointer()
         self.state = ckptr.restore(path, self.state)
+        extra_path = path + "_extra.npz"
+        if self._extras and os.path.exists(extra_path):
+            data = np.load(extra_path)
+            for name, obj in self._extras.items():
+                sd = {
+                    k.split("/", 1)[1]: data[k]
+                    for k in data.files
+                    if k.startswith(name + "/")
+                }
+                if sd:
+                    obj.load_state_dict(sd)
 
     def copy_weights_from(self, params: Any, strict: bool = False):
         """Finetuning à la ``caffe train -weights``: copy params whose names
