@@ -296,12 +296,16 @@ def make_augmented_loss(
 
     def loss_fn(params, batch):
         if "aug_mat0" in batch:
+            # non-augmentation state rides through untouched (e.g. the
+            # "frozen" upstream-params subtree of a split stage loss)
+            passthrough = {"frozen": batch["frozen"]} if "frozen" in batch else {}
             fp = jnp.sum(batch["aug_mat0"]).astype(jnp.float32)
             key = jax.random.fold_in(base_key, jnp.abs(fp * 1e4).astype(jnp.int32))
             batch = apply_augmentation_device(
                 batch, key, crop_h, crop_w,
                 mean_window=mean_window, mean_per_pixel=mean_per_pixel,
             )
+            batch.update(passthrough)
             extra = {
                 k: batch.pop(k)
                 for k in ("aug_batch_mean0", "aug_batch_mean1")

@@ -98,11 +98,14 @@ def flownet2_css_apply(params: dict, img0: jnp.ndarray, img1: jnp.ndarray) -> jn
     return flow_s2
 
 
-def flownet2_apply(params: dict, img0: jnp.ndarray, img1: jnp.ndarray) -> jnp.ndarray:
-    """Full FlowNet2: CSS + SD fused. img*: (N, H, W, 3) raw 0-255 RGB;
-    returns (N, H, W, 2) flow at input resolution (H, W divisible by 64)."""
-    x0, x1 = normalize_images(img0, img1)
+def build_fusion_inputs(params: dict, x0: jnp.ndarray, x1: jnp.ndarray) -> jnp.ndarray:
+    """Everything upstream of the fusion net, on NORMALIZED frames: the CSS
+    branch (C → S1 → S2), the SD branch, and the fusion feature stack
+    [x0, sd_flow, css_flow, |sd|, |css|, |err_sd|, |err_css|] (11ch).
 
+    Shared by :func:`flownet2_apply` and the fusion-stage training objective
+    (train/objectives.make_fusion_stage_loss, which freezes this whole
+    prefix — the stage-wise recipe)."""
     # Large-displacement branch: C → S1 → S2.
     flows_c = flownet_c_apply(params["flownetc"], x0, x1)
     flow_c = _upsample_flow_4x(flows_c["flow2"], DIV_FLOW)
@@ -124,8 +127,15 @@ def flownet2_apply(params: dict, img0: jnp.ndarray, img1: jnp.ndarray) -> jnp.nd
     err_sd = channel_norm(x0 - warped_sd)
     err_css = channel_norm(x0 - warped_css)
 
-    fused_in = jnp.concatenate(
+    return jnp.concatenate(
         [x0, sd_flow, css_flow, norm_sd, norm_css, err_sd, err_css], axis=-1
     )
+
+
+def flownet2_apply(params: dict, img0: jnp.ndarray, img1: jnp.ndarray) -> jnp.ndarray:
+    """Full FlowNet2: CSS + SD fused. img*: (N, H, W, 3) raw 0-255 RGB;
+    returns (N, H, W, 2) flow at input resolution (H, W divisible by 64)."""
+    x0, x1 = normalize_images(img0, img1)
+    fused_in = build_fusion_inputs(params, x0, x1)
     flows_fused = fusion_apply(params["fusion"], fused_in)
     return flows_fused["flow0"]

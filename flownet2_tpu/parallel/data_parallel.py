@@ -34,6 +34,40 @@ def batch_sharding(mesh: Mesh, *, spatial: bool = True, ndim: int = 4) -> NamedS
     return NamedSharding(mesh, P("data"))
 
 
+# Batch keys that carry REPLICATED state rather than per-item data — the
+# MeanRecompute running mean (H, W, C) and its scalar counter, and the
+# "frozen" upstream-params subtree of a split stage loss (objectives.
+# make_split_stage_loss), ride the batch dict but must be whole on every
+# device (row-slicing a mean image or a conv kernel would corrupt loss_fn).
+# "frozen" marks a SUBTREE: every leaf under it replicates.
+REPLICATED_BATCH_KEYS = frozenset(
+    {"mean_image0", "mean_image1", "mean_iter", "frozen"}
+)
+
+
+def batch_partition_specs(batch: Any, *, spatial: bool = False) -> Any:
+    """PartitionSpec pytree for a host batch: per-item leaves (leading dim ==
+    the batch size, taken from ``img0``) shard over 'data' (+H over 'spatial'
+    for rank>=3 when requested); replicated-state leaves (known keys, scalars,
+    or leaves whose dim 0 isn't the batch size) get P()."""
+    n = None
+    if isinstance(batch, dict) and "img0" in batch:
+        n = np.shape(batch["img0"])[0]
+
+    def spec(path, x):
+        ndim = np.ndim(x)
+        keys = {p.key for p in path if hasattr(p, "key")}
+        if keys & REPLICATED_BATCH_KEYS or ndim == 0:
+            return P()
+        if n is not None and np.shape(x)[0] != n:
+            return P()
+        if ndim >= 3 and spatial:
+            return P("data", "spatial")
+        return P("data")
+
+    return jax.tree_util.tree_map_with_path(spec, batch)
+
+
 def shard_batch(batch: Any, mesh: Mesh, *, spatial: bool = True) -> Any:
     """Place a host batch (pytree of (N, ...) numpy arrays) onto the mesh.
 
@@ -42,18 +76,20 @@ def shard_batch(batch: Any, mesh: Mesh, *, spatial: bool = True) -> Any:
     jax.make_array_from_process_local_data (same sharding), which this
     falls through to when jax.process_count() > 1.
     """
-
-    def leaf_sharding(x):
-        return batch_sharding(mesh, spatial=spatial, ndim=np.ndim(x))
+    use_spatial = spatial and mesh.shape.get("spatial", 1) > 1
+    specs = batch_partition_specs(batch, spatial=use_spatial)
 
     if jax.process_count() > 1:  # pragma: no cover - needs multi-host
         return jax.tree.map(
-            lambda x: jax.make_array_from_process_local_data(
-                leaf_sharding(x), np.asarray(x)
+            lambda x, s: jax.make_array_from_process_local_data(
+                NamedSharding(mesh, s), np.asarray(x)
             ),
             batch,
+            specs,
         )
-    return jax.tree.map(lambda x: jax.device_put(x, leaf_sharding(x)), batch)
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), batch, specs
+    )
 
 
 def make_parallel_train_step(
@@ -76,13 +112,15 @@ def make_parallel_train_step(
 
     repl = NamedSharding(mesh, P())
 
+    use_spatial = spatial and mesh.shape.get("spatial", 1) > 1
+
     def wrapped(state, batch):
         state = jax.lax.with_sharding_constraint(state, repl)
+        specs = batch_partition_specs(batch, spatial=use_spatial)
         batch = jax.tree.map(
-            lambda x: jax.lax.with_sharding_constraint(
-                x, batch_sharding(mesh, spatial=spatial, ndim=x.ndim)
-            ),
+            lambda x, s: jax.lax.with_sharding_constraint(x, NamedSharding(mesh, s)),
             batch,
+            specs,
         )
         with activation_sharding(mesh):
             return train_step(state, batch)
@@ -143,9 +181,7 @@ def make_dp_train_step(loss_fn, tx, mesh: Mesh) -> Callable:
         return gflat, stats[0], aux_unravel(stats[1:])
 
     def step(state, batch):
-        batch_specs = jax.tree.map(
-            lambda x: P("data") if getattr(x, "ndim", 0) >= 1 else P(), batch
-        )
+        batch_specs = batch_partition_specs(batch, spatial=False)
         flat_params, unravel = ravel_pytree(state.params)
         gflat, loss, aux = jax.shard_map(
             lambda fp, b: local_grads(fp, unravel, b),

@@ -187,6 +187,111 @@ def make_cascade_stage_loss(stage: str) -> Callable:
     return loss_fn
 
 
+def make_sd_stage_loss() -> Callable:
+    """The SD branch trained inside the full-cascade pytree (gradients into
+    ``params["flownetsd"]`` only) — lets the staged recipe share one
+    checkpoint structure across stages."""
+
+    def loss_fn(params, batch):
+        return flownet_sd_loss(params["flownetsd"], batch)
+
+    return loss_fn
+
+
+def make_c_stage_loss() -> Callable:
+    """FlowNetC trained inside the full-cascade pytree."""
+
+    def loss_fn(params, batch):
+        return flownet_c_loss(params["flownetc"], batch)
+
+    return loss_fn
+
+
+def make_fusion_stage_loss(
+    weights: dict[str, float] | None = None,
+) -> Callable:
+    """Fusion-net training with the entire upstream cascade frozen — the
+    final step of the stage-wise FlowNet2 recipe (paper §4: CSS and SD are
+    trained first, then the fusion net learns to merge them).
+
+    The fusion net predicts REAL-scale flow at strides 1/2/4 ("flow0" is
+    the final output, models/fusion.py), so targets are the raw GT flow
+    downsampled per scale with no DIV_FLOW normalization. The per-scale
+    weights approximate the released recipe (the training prototxts are
+    downloaded assets, models/download-models.sh — same offline limit as
+    data/augment_pipeline.py's distributions).
+    """
+    from flownet2_tpu.models.flownet2 import build_fusion_inputs
+    from flownet2_tpu.models.fusion import fusion_apply
+
+    weights = weights or {"flow0": 1.0, "flow1": 0.5, "flow2": 0.25}
+
+    def loss_fn(params, batch):
+        img0, img1, flow = _batch_views(batch)
+        x0, x1 = normalize_images(img0, img1)
+        stop = jax.lax.stop_gradient
+        fused_in = stop(build_fusion_inputs(params, x0, x1))
+        flows = fusion_apply(params["fusion"], fused_in)
+        total, per_scale = multiscale_l1_loss(flows, flow, weights)
+        return total, {"loss": total, **per_scale}
+
+    return loss_fn
+
+
+# Cascade stage -> params subtree it trains (the stage-wise recipe order).
+STAGE_SUBTREE = {
+    "c": "flownetc",
+    "s1": "flownets_1",
+    "s2": "flownets_2",
+    "sd": "flownetsd",
+    "fusion": "fusion",
+}
+
+# Full-pytree loss key per stage (gradients land in the subtree; upstream
+# frozen via stop_gradient inside each loss).
+STAGE_LOSS_KEY = {
+    "c": "flownet2-c-stage",
+    "s1": "flownet2-s1",
+    "s2": "flownet2-s2",
+    "sd": "flownet2-sd-stage",
+    "fusion": "flownet2-fusion",
+}
+
+
+def split_stage_params(params: dict, stage: str) -> tuple[dict, dict]:
+    """Split a full-cascade pytree into (trainable subtree, frozen rest)
+    for one stage of the stage-wise recipe."""
+    sub = STAGE_SUBTREE[stage]
+    return params[sub], {k: v for k, v in params.items() if k != sub}
+
+
+def make_split_stage_loss(stage: str) -> Callable:
+    """Stage objective over ONLY the trainable subtree: ``loss_fn(
+    stage_params, batch)`` where ``batch["frozen"]`` carries the frozen
+    upstream subtrees as (replicated) inputs.
+
+    This is the train-step-sized formulation: the optimizer, gradient
+    ravel, and the fused DP psum (parallel.data_parallel.make_dp_train_step)
+    see a stage-sized pytree instead of the full ~160M-param cascade —
+    compile time and collective payload shrink by the cascade/stage ratio.
+    The math is identical to the full-pytree variant (STAGE_LOSS_KEY):
+    frozen params enter as data, exactly like the reference's lr_mult=0
+    blobs which still live in GPU memory but receive no update
+    (solver.cpp:194-324).
+    """
+    base = LOSSES[STAGE_LOSS_KEY[stage]]
+    sub = STAGE_SUBTREE[stage]
+
+    def loss_fn(stage_params, batch):
+        batch = dict(batch)
+        frozen = batch.pop("frozen")
+        full = dict(frozen)
+        full[sub] = stage_params
+        return base(full, batch)
+
+    return loss_fn
+
+
 LOSSES: dict[str, Callable] = {
     "flownets": flownet_s_loss,
     "flownetc": flownet_c_loss,
@@ -195,4 +300,9 @@ LOSSES: dict[str, Callable] = {
     "flownet2-sd-sdhom": flownet_sd_chairssdhom_loss,
     "flownet2-s1": make_cascade_stage_loss("flownets_1"),
     "flownet2-s2": make_cascade_stage_loss("flownets_2"),
+    "flownet2-fusion": make_fusion_stage_loss(),
+    # cascade-pytree variants of the self-contained stages (same math as
+    # flownetc / flownet2-sd; gradients land in the named subtree)
+    "flownet2-c-stage": make_c_stage_loss(),
+    "flownet2-sd-stage": make_sd_stage_loss(),
 }

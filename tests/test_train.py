@@ -253,6 +253,58 @@ class TestObjectives:
         assert g_stage > 0
         assert g_frozen == 0
 
+    def test_split_stage_loss_matches_full_pytree(self, rng):
+        """make_split_stage_loss (stage params as TrainState, frozen rest
+        riding the batch) must be EXACTLY the full-pytree stage objective —
+        same loss, same gradients on the trainable subtree."""
+        from flownet2_tpu.models import flownet2_init
+        from flownet2_tpu.train.objectives import (
+            LOSSES,
+            STAGE_LOSS_KEY,
+            make_split_stage_loss,
+            split_stage_params,
+        )
+
+        params = flownet2_init(jax.random.PRNGKey(0))
+        batch = self._batch(rng, h=64, w=128)
+        for stage in ("s1", "fusion"):
+            full_fn = LOSSES[STAGE_LOSS_KEY[stage]]
+            split_fn = make_split_stage_loss(stage)
+            trainable, frozen = split_stage_params(params, stage)
+
+            loss_f, _ = jax.jit(full_fn)(params, batch)
+            grads_f = jax.jit(jax.grad(lambda p, b: full_fn(p, b)[0]))(params, batch)
+
+            sb = dict(batch, frozen=frozen)
+            loss_s, _ = jax.jit(split_fn)(trainable, sb)
+            grads_s = jax.jit(jax.grad(lambda p, b: split_fn(p, b)[0]))(trainable, sb)
+
+            np.testing.assert_allclose(float(loss_s), float(loss_f), rtol=1e-6)
+            sub = {"s1": "flownets_1", "fusion": "fusion"}[stage]
+            jax.tree.map(
+                lambda a, b: np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-8
+                ),
+                grads_s,
+                grads_f[sub],
+            )
+
+    def test_frozen_batch_leaves_replicate(self):
+        """batch_partition_specs must give P() to every leaf under the
+        'frozen' subtree (conv kernels must not be row-sliced over 'data')."""
+        from jax.sharding import PartitionSpec as P
+
+        from flownet2_tpu.parallel.data_parallel import batch_partition_specs
+
+        batch = {
+            "img0": np.zeros((8, 16, 16, 3)),
+            "flow": np.zeros((8, 16, 16, 2)),
+            "frozen": {"flownetc": {"conv1": {"w": np.zeros((8, 7, 3, 64))}}},
+        }
+        specs = batch_partition_specs(batch)
+        assert specs["img0"] == P("data")
+        assert specs["frozen"]["flownetc"]["conv1"]["w"] == P()
+
     def test_lpq_episode_rejit(self):
         from flownet2_tpu.ops.losses import LpqSchedule
 
