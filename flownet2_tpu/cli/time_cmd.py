@@ -19,49 +19,6 @@ import sys
 import time
 
 
-def _cascade_stages(params, img0, img1, dtype):
-    """Stage list for the FlowNet2 cascade breakdown: (name, fn, feedback,
-    rest_args). Shapes mirror flownet2_apply's internal wiring
-    (models/flownet2.py:101-131)."""
-    import jax.numpy as jnp
-    import numpy as np
-
-    from flownet2_tpu.models import normalize_images
-    from flownet2_tpu.models.flownet_c import flownet_c_apply
-    from flownet2_tpu.models.flownet_s import flownet_s_apply
-    from flownet2_tpu.models.flownet_sd import flownet_sd_apply
-    from flownet2_tpu.models.fusion import fusion_apply
-    from flownet2_tpu.ops.channel_norm import channel_norm
-    from flownet2_tpu.ops.warp import flow_warp
-
-    n, h, w, _ = img0.shape
-    rng = np.random.default_rng(1)
-    x0, x1 = normalize_images(img0, img1)
-    flow_full = jnp.asarray(rng.uniform(-10, 10, (n, h, w, 2)), dtype)
-    stacked12 = jnp.asarray(rng.uniform(-1, 1, (n, h, w, 12)), dtype)
-    fused11 = jnp.asarray(rng.uniform(-1, 1, (n, h, w, 11)), dtype)
-
-    return [
-        ("normalize_images", lambda a, b: normalize_images(a, b), img0, (img1,)),
-        ("flownetc", lambda a, p, b: flownet_c_apply(p, a, b), x0, (params["flownetc"], x1)),
-        ("flow_warp (full res)", lambda a, f: flow_warp(a, f), x1, (flow_full,)),
-        ("channel_norm", lambda a: channel_norm(a), x0, ()),
-        (
-            "flownets refinement (xS2)",
-            lambda a, p: flownet_s_apply(p, a),
-            stacked12,
-            (params["flownets_1"],),
-        ),
-        (
-            "flownet-sd branch",
-            lambda a, p: flownet_sd_apply(p, jnp.concatenate([a, a], axis=-1)),
-            x0,
-            (params["flownetsd"],),
-        ),
-        ("fusion net", lambda a, p: fusion_apply(p, a), fused11, (params["fusion"],)),
-    ]
-
-
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--model", default="flownet2")
@@ -125,29 +82,45 @@ def main(argv=None) -> int:
         run_timed("forward+backward", grad_fn, params, batch)
 
     if args.breakdown:
-        from flownet2_tpu.tools.timing import chain_ms
+        from flownet2_tpu.tools.breakdown import (
+            params_for_stages,
+            time_stages,
+            walk_stages,
+        )
 
-        if args.model != "flownet2":
-            print("--breakdown currently tables the flownet2 cascade stages")
-        else:
-            n1, n2 = (1, 3) if jax.devices()[0].platform == "cpu" else (3, 13)
-            print(f"{'stage':<28} {'ms/iter':>9}   note")
-            rows = []
-            for name, fn, feedback, rest in _cascade_stages(params, img0, img1, dtype):
-                ms = chain_ms(fn, feedback, rest, n1, n2)
-                rows.append((name, ms))
-            notes = {
-                "flow_warp (full res)": "x4 in the cascade (S1, S2, fusion prep x2)",
-                "flownets refinement (xS2)": "x2 in the cascade (S1 + S2)",
-                "channel_norm": "x5 in the cascade",
-            }
-            for name, ms in rows:
-                print(f"{name:<28} {ms:9.3f}   {notes.get(name, '')}")
-            total = sum(
-                ms * (4 if "warp" in n else 2 if "refinement" in n else 5 if n == "channel_norm" else 1)
-                for n, ms in rows
-            )
-            print(f"{'sum of stages (weighted)':<28} {total:9.3f}   vs whole-program above")
+        n1, n2 = (1, 3) if jax.devices()[0].platform == "cpu" else (3, 13)
+        stages = walk_stages(args.model, params, img0, img1)
+        time_stages(
+            stages,
+            params_for_stages(args.model, params),
+            n1=n1,
+            n2=n2,
+            backward=args.backward,
+        )
+        shape_of = lambda st: "x".join(
+            str(d)
+            for s in st.arg_specs
+            if isinstance(s, jax.ShapeDtypeStruct)
+            for d in s.shape[1:3]
+        )[:9]
+        hdr = f"{'stage':<20} {'shape':>11} {'count':>5} {'fwd ms':>9}"
+        if args.backward:
+            hdr += f" {'bwd ms':>9} {'f+b ms':>9}"
+        print(hdr)
+        fwd_total = fb_total = 0.0
+        for st in stages:
+            row = f"{st.name:<20} {shape_of(st):>11} {st.count:>5} {st.fwd_ms:>9.3f}"
+            fwd_total += st.count * st.fwd_ms
+            if args.backward:
+                row += f" {st.bwd_ms:>9.3f} {st.fwdbwd_ms:>9.3f}"
+                if st.fwdbwd_ms == st.fwdbwd_ms:  # not NaN
+                    fb_total += st.count * st.fwdbwd_ms
+            print(row)
+        # count-weighted sums cross-check the whole-program numbers above
+        total_row = f"{'sum (count-weighted)':<20} {'':>11} {'':>5} {fwd_total:>9.3f}"
+        if args.backward:
+            total_row += f" {'':>9} {fb_total:>9.3f}"
+        print(total_row + "   vs whole-program above")
 
     if args.profile:
         with jax.profiler.trace(args.profile):

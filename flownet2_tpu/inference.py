@@ -21,6 +21,8 @@ import numpy as np
 from flownet2_tpu.core.adapt import AdaptedGeometry, adapt_shape
 from flownet2_tpu.models import (
     DIV_FLOW,
+    dispnet_c_apply,
+    dispnet_c_init,
     flownet2_apply,
     flownet2_css_apply,
     flownet2_cs_apply,
@@ -51,6 +53,11 @@ def _sd_quarter(params, x0, x1):
     return flows["flow2"], 1.0 / DIV_FLOW
 
 
+def _dispc_quarter(params, x0, x1):
+    preds = dispnet_c_apply(params, x0, x1)
+    return preds["flow2"], DIV_FLOW
+
+
 def _make_forward(model: str) -> Callable:
     """forward(params, img0, img1) -> adapted-resolution flow (real scale).
 
@@ -64,9 +71,12 @@ def _make_forward(model: str) -> Callable:
         }[model]
         return fn
 
-    quarter = {"flownets": _s_quarter, "flownetc": _c_quarter, "flownet2-sd": _sd_quarter}[
-        model
-    ]
+    quarter = {
+        "flownets": _s_quarter,
+        "flownetc": _c_quarter,
+        "flownet2-sd": _sd_quarter,
+        "dispnetc": _dispc_quarter,
+    }[model]
 
     def forward(params, img0, img1):
         x0, x1 = normalize_images(img0, img1)
@@ -84,6 +94,7 @@ MODEL_INITS = {
     "flownet2-cs": lambda key: flownet2_init(key),
     "flownet2-css": lambda key: flownet2_init(key),
     "flownet2": lambda key: flownet2_init(key),
+    "dispnetc": lambda key: dispnet_c_init(key),
 }
 
 MODEL_NAMES = tuple(MODEL_INITS)

@@ -102,4 +102,4 @@ def test_time_cmd_breakdown_smoke(capsys):
     )
     out = capsys.readouterr().out
     assert rc == 0
-    assert "fusion net" in out and "sum of stages" in out
+    assert "fusion" in out and "sum (count-weighted)" in out
