@@ -104,8 +104,11 @@ class FlowRunner:
     """Resolution-aware cached inference engine for one model.
 
     ``dtype``: optional compute dtype for weights/activations ("bfloat16"
-    engages the MXU fast paths; EPE impact is sub-centipixel on the FlowNet
-    value ranges). Flow I/O stays float32 either way.
+    engages the MXU fast paths). Measured bf16-vs-f32 divergence: large
+    under RANDOM weights (chaotic amplification through 5 chained nets);
+    with TRAINED weights see the staged-cascade parity numbers in
+    docs/DESIGN_NOTES.md ("bf16 inference parity"). Flow I/O stays float32
+    either way.
     """
 
     def __init__(self, model: str, params: dict, dtype=None):

@@ -64,10 +64,20 @@ def flow_warp(
     if method == "auto":
         method = os.environ.get("FLOWNET2_TPU_WARP", "auto")
     if method == "auto":
-        if image.dtype == jnp.bfloat16 and jax.default_backend() != "cpu":
-            method = "pallas" if jax.default_backend() in ("tpu", "axon") else "windowed"
-        else:
+        backend = jax.default_backend()
+        if backend == "cpu":
+            # exact oracle path (tests, parity runs)
             method = "gather"
+        elif image.dtype == jnp.bfloat16 and backend in ("tpu", "axon"):
+            method = "pallas"
+        else:
+            # TPU has no gather unit: the per-item dynamic-slice fallback is
+            # slow AND its compile blows up at full resolution (f32 cascade
+            # programs took tens of minutes / OOM'd buffer assignment).
+            # The windowed path is exact within the documented |dx|<=127 /
+            # |dy|<=55 per-tile budgets; pass method="gather" explicitly for
+            # strict-parity runs.
+            method = "windowed"
     if method == "pallas":
         return _flow_warp_pallas_vjp(image, flow, fill_value)
     if method == "windowed":
