@@ -26,6 +26,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import jax
@@ -111,6 +112,126 @@ def bench_train(h, w, batch, n1, n2, *, model="flownetc"):
     return batch / (ms / 1000)
 
 
+def bench_train_sd_sdhom(h, w, batch, n1, n2):
+    """SD net with the ChairsSDHom objective: BlackAugmentation + scheduled
+    Lpq losses (the small-displacement training recipe, SURVEY.md §2.2) —
+    fwd+bwd+update, bf16 compute / f32 master."""
+    import optax
+
+    from flownet2_tpu.models.flownet_sd import flownet_sd_init
+    from flownet2_tpu.train.objectives import LOSSES, with_compute_dtype
+
+    params = flownet_sd_init(jax.random.PRNGKey(0))
+    tx = optax.sgd(1e-4, momentum=0.9)
+    opt_state = tx.init(params)
+    loss_fn = with_compute_dtype(LOSSES["flownet2-sd-sdhom"], jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    img0 = jnp.asarray(rng.uniform(0, 255, (batch, h, w, 3)), jnp.float32)
+    img1 = jnp.asarray(rng.uniform(0, 255, (batch, h, w, 3)), jnp.float32)
+    flow = jnp.asarray(rng.uniform(-2, 2, (batch, h, w, 2)), jnp.float32)
+    black = jnp.asarray(rng.uniform(0, 1, (batch,)) < 0.1, jnp.float32)
+    border = jnp.asarray(rng.uniform(0, 0.2, (batch,)), jnp.float32)
+
+    def step(img0, params, opt_state, img1, flow):
+        b = {"img0": img0, "img1": img1, "flow": flow,
+             "black_mask": black, "border_frac": border}
+        (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(params, b)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    @jax.jit
+    def run(img0, params, opt_state, img1, flow, n):
+        def body(i, carry):
+            img0c, params, opt_state, acc = carry
+            params, opt_state, loss = step(img0c, params, opt_state, img1, flow)
+            return (img0c + (loss * 1e-30).astype(img0c.dtype), params, opt_state,
+                    acc + loss)
+
+        _, _, _, acc = lax.fori_loop(0, n, body, (img0, params, opt_state, jnp.float32(0)))
+        return acc
+
+    def timed(n):
+        t0 = time.perf_counter()
+        float(run(img0, params, opt_state, img1, flow, n))
+        return time.perf_counter() - t0
+
+    timed(n1)
+    t1 = min(timed(n1) for _ in range(2))
+    t2 = min(timed(n2) for _ in range(2))
+    ms = (t2 - t1) / (n2 - n1) * 1000
+    return batch / (ms / 1000)
+
+
+def bench_train_with_pipeline(crop_h, crop_w, batch, iters, *, n_samples=24):
+    """End-to-end training throughput WITH the host input pipeline in the
+    loop: a real .flowrec dataset (written once to /tmp), BatchLoader worker
+    threads decoding + augmenting (make_flownet_augmenter), and a jitted
+    FlowNetC train step consuming each fresh batch — the number that
+    validates host decode/upload overlaps device compute (VERDICT r2
+    weak.4/next.5; reference hot loop solver.cpp:194-324 with CustomData
+    prefetch). Every step fetches the scalar loss (exactly what Solver.step
+    does), so device work is forced each iteration and nothing dedups
+    (inputs differ every step)."""
+    import tempfile
+
+    import optax
+
+    from flownet2_tpu.data import BatchLoader
+    from flownet2_tpu.data.augment_pipeline import (
+        make_augmented_loss,
+        make_flownet_augmenter,
+    )
+    from flownet2_tpu.data.records import FlowRecordReader, FlowRecordWriter
+    from flownet2_tpu.models.flownet_c import flownet_c_init
+    from flownet2_tpu.train.objectives import flownet_c_loss, with_compute_dtype
+
+    rng = np.random.default_rng(0)
+    path = tempfile.mktemp(suffix=".flowrec", dir="/tmp")
+    wtr = FlowRecordWriter(path)
+    for _ in range(n_samples):  # FlyingChairs-native 384x512 samples
+        wtr.write(
+            rng.integers(0, 255, (384, 512, 3), np.uint8),
+            rng.integers(0, 255, (384, 512, 3), np.uint8),
+            rng.uniform(-20, 20, (384, 512, 2)).astype(np.float32),
+        )
+    wtr.close()
+
+    params = flownet_c_init(jax.random.PRNGKey(0))
+    tx = optax.sgd(1e-4, momentum=0.9)
+    opt_state = tx.init(params)
+    # host samples coeffs (loader transform); the spatial/chromatic warps +
+    # crop run on device in f32, then the net trains in bf16 — the exact
+    # cli/train.py production composition.
+    loss_fn = make_augmented_loss(
+        with_compute_dtype(flownet_c_loss, jnp.bfloat16), crop_h, crop_w
+    )
+
+    @jax.jit
+    def step(params, opt_state, batch_d):
+        (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(params, batch_d)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    loader = BatchLoader(
+        FlowRecordReader(path),
+        batch,
+        transform=make_flownet_augmenter(crop_h, crop_w),
+        num_threads=2,
+        prefetch=4,
+    )
+    it = iter(loader)
+    # warm up: compile + fill the prefetch ring
+    params, opt_state, loss = step(params, opt_state, next(it))
+    float(loss)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        params, opt_state, loss = step(params, opt_state, next(it))
+        float(loss)
+    dt = time.perf_counter() - t0
+    os.unlink(path)
+    return batch * iters / dt
+
+
 def main():
     on_tpu = jax.devices()[0].platform != "cpu"
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
@@ -119,10 +240,14 @@ def main():
         sintel_pps = bench_inference(448, 1024, 4, dtype, 3, 13)
         train_pps = bench_train(320, 448, 8, 3, 13)
         train_s1_pps = bench_train(320, 448, 8, 3, 13, model="s1")
+        train_sd_pps = bench_train_sd_sdhom(320, 448, 8, 3, 13)
+        pipeline_pps = bench_train_with_pipeline(320, 448, 8, 40)
         extra = {
             "sintel_1024x448_pairs_per_sec": round(sintel_pps, 2),
             "train_flownetc_448x320_pairs_per_sec": round(train_pps, 2),
             "train_s1_stage_448x320_pairs_per_sec": round(train_s1_pps, 2),
+            "train_sd_sdhom_448x320_pairs_per_sec": round(train_sd_pps, 2),
+            "train_flownetc_with_pipeline_448x320_pairs_per_sec": round(pipeline_pps, 2),
             "sintel_vs_baseline": round(sintel_pps / REF_PAIRS_PER_SEC, 2),
         }
     else:  # CPU smoke mode

@@ -52,6 +52,8 @@ def with_compute_dtype(loss_fn, dtype):
         for k in ("img0", "img1"):
             if k in b:
                 b[k] = cast(b[k])
+        if "frozen" in b:  # split stage losses: upstream nets run in dtype too
+            b["frozen"] = jax.tree.map(cast, b["frozen"])
         return loss_fn(p, b)
 
     return wrapped
