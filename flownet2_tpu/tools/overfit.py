@@ -136,8 +136,11 @@ def main(argv=None) -> int:
     # the net cannot emit). The quarter-res EPE against the NaN-aware
     # downsampled GT — the quantity training actually optimizes — is the
     # honest convergence metric.
+    # batch is an ARGUMENT, not a closure: constants baked into the jitted
+    # program miscompute through the axon compile path (see
+    # tools/overfit_cascade.py's cascade_epe note + scratch/diag_epe_jit.py).
     @jax.jit
-    def native_epe(params):
+    def _native_epe(params, batch):
         from flownet2_tpu.models import normalize_images
         from flownet2_tpu.models.flownet_s import flownet_s_apply
         from flownet2_tpu.ops.downsample import downsample_nan_aware
@@ -148,6 +151,9 @@ def main(argv=None) -> int:
         f2 = flows["flow2"] * DIV_FLOW
         gt = downsample_nan_aware(batch["flow"], f2.shape[1], f2.shape[2])
         return epe(f2, gt)
+
+    def native_epe(params):
+        return _native_epe(params, batch)
 
     lines = []
 

@@ -78,9 +78,17 @@ def main(argv=None) -> int:
 
     params = flownet2_init(jax.random.PRNGKey(0))
 
-    cascade_epe = jax.jit(
-        lambda p: epe(flownet2_apply(p, batch["img0"], batch["img1"]), batch["flow"])
+    # batch MUST be an argument, not a closure: baking the images into the
+    # jitted program as constants produces WRONG numerics through the axon
+    # compile path (measured: 5.29 vs the correct 0.51 EPE on the same
+    # params/batch — scratch/diag_epe_jit.py repro; same class of issue as
+    # the close-over-params HTTP 413 in .claude/skills/verify/SKILL.md).
+    _cascade_epe = jax.jit(
+        lambda p, b: epe(flownet2_apply(p, b["img0"], b["img1"]), b["flow"])
     )
+
+    def cascade_epe(p):
+        return _cascade_epe(p, batch)
 
     init_epe = float(cascade_epe(params))
     print(f"cascade EPE at random init: {init_epe:.4f}", flush=True)

@@ -112,6 +112,7 @@ def test_model_registry():
         "flownet2-cs",
         "flownet2-css",
         "flownet2",
+        "dispnetc",
     }
 
 
