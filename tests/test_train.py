@@ -326,3 +326,65 @@ class TestObjectives:
             solver.step(batch)
         # traced once per episode: (1,1) then (2,0.5)
         assert (1.0, 1.0) in episodes_seen and (2.0, 0.5) in episodes_seen
+
+
+class TestStagedPipeline:
+    """The full stage-wise FlowNet2 recipe end to end at toy scale — the
+    in-suite counterpart of tools/overfit_cascade.py (whose 3000-iter/stage
+    run on the 8 reference pairs is the convergence evidence, runs/cascade/:
+    cascade EPE 10.9 random-init -> 0.51 staged). Reference recipe:
+    README.md:100-106 stage order; solver.cpp:194-324 training loop."""
+
+    def test_staged_recipe_trains_every_stage(self, rng):
+        import optax
+
+        from flownet2_tpu.models import flownet2_apply, flownet2_init
+        from flownet2_tpu.ops.losses import epe
+        from flownet2_tpu.train.objectives import (
+            STAGE_SUBTREE,
+            make_split_stage_loss,
+            split_stage_params,
+        )
+
+        batch = {
+            "img0": jnp.asarray(rng.uniform(0, 255, (2, 64, 64, 3)).astype(np.float32)),
+            "img1": jnp.asarray(rng.uniform(0, 255, (2, 64, 64, 3)).astype(np.float32)),
+            "flow": jnp.asarray(rng.uniform(-3, 3, (2, 64, 64, 2)).astype(np.float32)),
+        }
+        params = flownet2_init(jax.random.PRNGKey(0))
+
+        cascade_epe = jax.jit(
+            lambda p, b: epe(flownet2_apply(p, b["img0"], b["img1"]), b["flow"])
+        )
+        init_epe = float(cascade_epe(params, batch))
+
+        for stage, iters in (
+            ("c", 8), ("s1", 8), ("s2", 8), ("sd", 8), ("fusion", 24),
+        ):
+            loss_fn = make_split_stage_loss(stage)
+            trainable, frozen = split_stage_params(params, stage)
+            sb = dict(batch, frozen=frozen)
+            tx = optax.adam(1e-3)
+            opt_state = tx.init(trainable)
+
+            @jax.jit
+            def step(tparams, opt_state, b):
+                (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(tparams, b)
+                updates, opt_state = tx.update(grads, opt_state, tparams)
+                return optax.apply_updates(tparams, updates), opt_state, loss
+
+            first = last = None
+            for _ in range(iters):
+                trainable, opt_state, loss = step(trainable, opt_state, sb)
+                last = float(loss)
+                first = last if first is None else first
+            assert np.isfinite(last), f"stage {stage} diverged"
+            assert last < first, f"stage {stage} loss did not decrease: {first} -> {last}"
+            params = dict(params)
+            params[STAGE_SUBTREE[stage]] = trainable
+
+        final_epe = float(cascade_epe(params, batch))
+        assert np.isfinite(final_epe)
+        # the fusion objective IS the (weighted multiscale) cascade EPE, so a
+        # decreased fusion loss must show up as a lower train-batch EPE
+        assert final_epe < init_epe, f"{init_epe} -> {final_epe}"
