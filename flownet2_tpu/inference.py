@@ -104,10 +104,11 @@ class FlowRunner:
     """Resolution-aware cached inference engine for one model.
 
     ``dtype``: optional compute dtype for weights/activations ("bfloat16"
-    engages the MXU fast paths). Measured bf16-vs-f32 divergence: large
-    under RANDOM weights (chaotic amplification through 5 chained nets);
-    with TRAINED weights see the staged-cascade parity numbers in
-    docs/DESIGN_NOTES.md ("bf16 inference parity"). Flow I/O stays float32
+    engages the MXU fast paths). Measured on the trained staged-cascade
+    checkpoint (full FlowNet2, 448x320): bf16 costs +0.021 px GT-EPE
+    (0.508 -> 0.529), mean bf16-vs-f32 flow divergence 0.079 px, max 2.3 px
+    (docs/DESIGN_NOTES.md "bf16 inference parity"). Divergence under RANDOM
+    weights is large/chaotic and is not evidence. Flow I/O stays float32
     either way.
     """
 

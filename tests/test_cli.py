@@ -103,3 +103,41 @@ def test_time_cmd_breakdown_smoke(capsys):
     out = capsys.readouterr().out
     assert rc == 0
     assert "fusion" in out and "sum (count-weighted)" in out
+
+
+def test_eval_parity_bfloat16(tmp_path, capsys):
+    """eval_parity --dtype bfloat16 end to end: f32 run dumps reference
+    .flo files, the bf16 run compares against them. Random weights on CPU —
+    this pins the bf16 CLI path; the trained-weight parity numbers live in
+    docs/DESIGN_NOTES.md ("bf16 inference parity", round 3)."""
+    import json
+
+    from flownet2_tpu.cli.eval_parity import main
+
+    ex = "/root/reference/data/FlyingChairs_examples"
+    if not os.path.isdir(ex):
+        pytest.skip("example data unavailable")
+    from flownet2_tpu.core.flow_io import write_flo
+
+    ref = tmp_path / "ref.flo"
+    write_flo(ref, np.zeros((384, 512, 2), np.float32))  # placeholder target
+    pairs = tmp_path / "pairs.txt"
+    pairs.write_text(f"{ex}/0000000-img0.ppm {ex}/0000000-img1.ppm {ref}\n")
+
+    # f32 pass overwrites the placeholder with its own prediction
+    rc = main(
+        ["--model", "flownets", "--weights", "random", "--list", str(pairs),
+         "--out-dir", str(tmp_path)]
+    )
+    assert rc == 0
+    capsys.readouterr()
+
+    rc = main(
+        ["--model", "flownets", "--weights", "random", "--list", str(pairs),
+         "--dtype", "bfloat16"]
+    )
+    out = capsys.readouterr().out
+    assert rc == 0
+    result = json.loads(out.strip().splitlines()[-1])
+    assert result["pairs"] == 1
+    assert np.isfinite(result["mean_epe"])
