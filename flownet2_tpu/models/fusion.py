@@ -51,12 +51,13 @@ def fusion_apply(
 
     layout="s2d" evaluates the full-resolution head in the space-to-depth
     domain (ops/s2d.py) — an exact rewrite of the full-res low-channel
-    convs, the cascade's slowest op class under XLA's native lowering
-    (~11.4 vs 12.0 ms whole-net at 448×320·b8 bf16 on v5e; the individual
-    rewritten ops are 1.5-3× faster but the net is dominated by the
-    MXU's 128-lane padding on Cout∈{16,32,64} — see DESIGN_NOTES).
-    "auto" picks s2d on accelerators when H, W are even; "plain" is the
-    oracle path.
+    convs, the cascade's slowest op class under XLA's native lowering.
+    Round-3 note: net-in-ISOLATION plain beats s2d at 448 wide (11.2 vs
+    13.0 ms b8 bf16 v5e) but IN-CASCADE s2d still wins there (32.8 vs
+    33.8 ms full flownet2) and wins big at Sintel width (23.0 vs 35.7
+    isolated) — so auto stays s2d everywhere on accelerators
+    (scratch/cascade_ab_r3.py). "auto" picks s2d on accelerators when
+    H, W are even; "plain" is the oracle path.
     """
     if layout == "auto":
         layout = (
