@@ -15,6 +15,7 @@ import jax.numpy as jnp
 from flownet2_tpu.models.common import ParamInit, conv_block, deconv_block
 from flownet2_tpu.ops.activations import leaky_relu
 from flownet2_tpu.ops.s2d import (
+    _pallas_ok,
     conv2d_s2d,
     deconv2d_s2d,
     depth_to_space,
@@ -123,10 +124,22 @@ def _fusion_apply_s2d(params: dict, x: jnp.ndarray) -> dict[str, jnp.ndarray]:
 
     up_feat0_2 = leaky_relu(deconv2d_s2d(concat1, p["deconv0"]["w"], p["deconv0"]["b"]))
     up_flow0_2 = deconv2d_s2d(flow1, p["upsample_flow1to0"]["w"], p["upsample_flow1to0"]["b"])
-    concat0_2 = jnp.concatenate([c0_2, up_feat0_2, up_flow0_2], axis=-1)
-    inter0_2 = conv2d_s2d(
-        concat0_2, p["inter_conv0"]["w"], p["inter_conv0"]["b"], segments=(64, 16, 2)
-    )
+    w_ic0, b_ic0 = p["inter_conv0"]["w"], p["inter_conv0"]["b"]
+    if not _pallas_ok(c0_2.shape[2]):
+        # Narrow widths (XLA conv routing): split-sum the inter_conv0 over
+        # its three sources instead of materializing the 328-channel concat
+        # — exact (sum of convs == conv of concat) and measured 11.2 vs
+        # 13.0 ms whole-net at 448×320 b8. At Pallas-routed widths the
+        # merged segments conv wins (23.0 vs 28.3 ms at 1024-wide Sintel,
+        # scratch/fusion_variants_r3.py), so this is width-conditional.
+        inter0_2 = (
+            conv2d_s2d(c0_2, w_ic0[:, :, :64, :], b_ic0)
+            + conv2d_s2d(up_feat0_2, w_ic0[:, :, 64:80, :], None)
+            + conv2d_s2d(up_flow0_2, w_ic0[:, :, 80:, :], None)
+        )
+    else:
+        concat0_2 = jnp.concatenate([c0_2, up_feat0_2, up_flow0_2], axis=-1)
+        inter0_2 = conv2d_s2d(concat0_2, w_ic0, b_ic0, segments=(64, 16, 2))
     flow0_2 = conv2d_s2d(inter0_2, p["predict_flow0"]["w"], p["predict_flow0"]["b"])
     flows["flow0"] = depth_to_space(flow0_2)
     return flows

@@ -298,6 +298,17 @@ def _pallas_ok(width: int) -> bool:
     return mode == "pallas" or width > 256
 
 
+def _tap_dma() -> bool:
+    """FLOWNET2_TPU_S2D_TAPDMA=1 enables the shifted-window tap DMA in the
+    Pallas kernel. Default OFF: the wk shifted window copies multiply DMA
+    traffic by wk, and the measured A/B (fusion net, Sintel 1024x448 b4,
+    v5e) is 32-34 ms vs 23-24 ms — the relayout it removes is cheaper than
+    the extra HBM bytes (DESIGN_NOTES negative-results ledger)."""
+    import os
+
+    return os.environ.get("FLOWNET2_TPU_S2D_TAPDMA", "0") == "1"
+
+
 def _conv2d_s2d_xla(x2, w, b, stride, segments):
     return _conv2d_s2d_impl(x2, w, b, stride=stride, segments=segments)
 
@@ -318,7 +329,7 @@ def _conv2d_s2d_routed(x2, w, b, stride, segments):
         xp = jnp.pad(x2, ((0, 0), (p, p), (p, p), (0, 0)))
         return matmul_conv_pallas(
             xp, wm, b if b is not None else jnp.zeros((cout,), jnp.float32),
-            shift=0, phases=1, out_rows=h2, out_cols=w2_,
+            shift=0, phases=1, out_rows=h2, out_cols=w2_, tap_dma=_tap_dma(),
         )
     wm = _remap_weights_s1(w)
     if segments is not None:
@@ -327,6 +338,7 @@ def _conv2d_s2d_routed(x2, w, b, stride, segments):
     bias = jnp.tile(b, 4) if b is not None else jnp.zeros((4 * cout,), jnp.float32)
     return matmul_conv_pallas(
         xp, wm, bias, shift=shift, phases=4, out_rows=h2, out_cols=w2_,
+        tap_dma=_tap_dma(),
     )
 
 
@@ -356,6 +368,7 @@ def _deconv2d_s2d_routed(x, w, b):
     bias = jnp.tile(b, 4) if b is not None else jnp.zeros((4 * cout,), jnp.float32)
     return matmul_conv_pallas(
         xp, w_ps, bias, shift=1, phases=4, out_rows=h2, out_cols=w2_,
+        tap_dma=_tap_dma(),
     )
 
 

@@ -352,6 +352,18 @@ def _fwp_fwd(image, flow, fill_value):
 
 def _fwp_bwd(res, g):
     image, flow, fill_value = res
+    if (
+        jax.default_backend() in ("tpu", "axon")
+        and os.environ.get("FLOWNET2_TPU_WARP_BWD", "xla") == "pallas"
+    ):
+        # Fused backward kernel — the exact VJP of the Pallas forward (same
+        # window bases/geometry). Opt-in (FLOWNET2_TPU_WARP_BWD=pallas)
+        # until validated + measured on real hardware; default stays the
+        # hand windowed XLA gradients (rt=8/ck=256 geometry).
+        from flownet2_tpu.ops.pallas.warp import flow_warp_pallas_bwd
+
+        dimg, dflow = flow_warp_pallas_bwd(image, flow, g, fill_value)
+        return dimg, dflow, None
     dimg, dflow = _flow_warp_windowed_bwd(image, flow, fill_value, g)
     return dimg, dflow, None
 

@@ -95,6 +95,70 @@ def test_flow_warp_pallas_bwd_agrees_within_budget(rng):
     np.testing.assert_allclose(np.asarray(dflow_w), np.asarray(dflow_e), atol=2e-3)
 
 
+def test_flow_warp_pallas_bwd_kernel_matches_gather_vjp(rng):
+    """The fused Pallas backward (flow_warp_pallas_bwd) is the exact VJP of
+    the forward — and, within budget, of the exact gather formulation."""
+    import jax
+
+    from flownet2_tpu.ops.pallas.warp import flow_warp_pallas_bwd
+    from flownet2_tpu.ops.warp import flow_warp_gather
+
+    n, h, w, c = 2, 24, 300, 3
+    img = jnp.asarray(rng.uniform(0, 1, (n, h, w, c)).astype(np.float32))
+    ys, xs = np.mgrid[0:h, 0:w].astype(np.float32)
+    # off-lattice sources (kinks excluded, as in the reference's
+    # GradientChecker); spreads stay within the 127/55 budgets
+    u = 50.0 * np.sin(xs * 0.3) + 0.37
+    v = 20.0 * np.cos(xs * 0.17) + 0.53
+    flow = jnp.asarray(np.broadcast_to(np.stack([u, v], -1), (n, h, w, 2)))
+    # some out-of-range pixels: no gradient may flow through them
+    flow = flow.at[:, 1, :5, 0].set(900.0)
+    g = jnp.asarray(rng.uniform(-1, 1, (n, h, w, c)).astype(np.float32))
+
+    dimg_p, dflow_p = flow_warp_pallas_bwd(img, flow, g, interpret=True)
+    _, vjp = jax.vjp(lambda im, fl: flow_warp_gather(im, fl), img, flow)
+    dimg_e, dflow_e = vjp(g)
+    np.testing.assert_allclose(np.asarray(dimg_p), np.asarray(dimg_e), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(dflow_p), np.asarray(dflow_e), atol=2e-3)
+
+
+def test_flow_warp_pallas_bwd_kernel_boundary(rng):
+    """Sources pushed to the last column/row: the IMAGE gradient must land
+    on the clamped taps exactly as the gather formulation's (xb=min(floor,
+    W-2), alpha=1 convention, flow_warp_layer.cpp:88-94). Flow grads are
+    excluded at exact-boundary pixels — x2 == W-1 is a clip kink where
+    autodiff's tie-breaking (zero) and the windowed convention
+    (img[W-1]-img[W-2]) legitimately differ."""
+    import jax
+
+    from flownet2_tpu.ops.pallas.warp import flow_warp_pallas_bwd
+    from flownet2_tpu.ops.warp import flow_warp_gather
+
+    n, h, w, c = 1, 16, 140, 3
+    img = jnp.asarray(rng.uniform(0, 1, (n, h, w, c)).astype(np.float32))
+    # off-lattice base flow: integer source coords are clip kinks where
+    # autodiff tie-breaking is implementation-defined
+    flow = jnp.full((n, h, w, 2), 0.37, jnp.float32)
+    # column 3 -> exactly the last source column; column 5 -> just inside
+    flow = flow.at[:, :, 3, 0].set(float(w - 1 - 3))
+    flow = flow.at[:, :, 5, 0].set(float(w - 1 - 5) - 0.25)
+    flow = flow.at[:, 2, :, 1].set(float(h - 1 - 2))
+    g = jnp.asarray(rng.uniform(-1, 1, (n, h, w, c)).astype(np.float32))
+
+    dimg_p, dflow_p = flow_warp_pallas_bwd(img, flow, g, interpret=True)
+    _, vjp = jax.vjp(lambda im, fl: flow_warp_gather(im, fl), img, flow)
+    dimg_e, dflow_e = vjp(g)
+    np.testing.assert_allclose(np.asarray(dimg_p), np.asarray(dimg_e), atol=2e-4)
+    kink = np.zeros((n, h, w, 1), bool)
+    kink[:, :, 3] = True  # x2 == W-1 exactly
+    kink[:, 2, :] = True  # y2 == H-1 exactly
+    np.testing.assert_allclose(
+        np.where(kink, 0, np.asarray(dflow_p)),
+        np.where(kink, 0, np.asarray(dflow_e)),
+        atol=2e-3,
+    )
+
+
 def test_flow_warp_pallas_nan_fill(rng):
     from flownet2_tpu.ops.pallas.warp import flow_warp_pallas
 
