@@ -79,7 +79,10 @@ def shard_batch(batch: Any, mesh: Mesh, *, spatial: bool = True) -> Any:
     use_spatial = spatial and mesh.shape.get("spatial", 1) > 1
     specs = batch_partition_specs(batch, spatial=use_spatial)
 
-    if jax.process_count() > 1:  # pragma: no cover - needs multi-host
+    # covered by tests/test_multiprocess.py (2-process gloo cluster), which
+    # runs this branch in worker subprocesses — invisible to in-process
+    # coverage, hence the pragma stays.
+    if jax.process_count() > 1:  # pragma: no cover - runs in subprocesses
         return jax.tree.map(
             lambda x, s: jax.make_array_from_process_local_data(
                 NamedSharding(mesh, s), np.asarray(x)
