@@ -34,6 +34,10 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
+from flownet2_tpu.core.hostmem import tune_host_allocator
+
+tune_host_allocator()  # host batch churn (see core/hostmem.py)
+
 REF_PAIRS_PER_SEC = 1000.0 / 123.0  # GTX 1080, FlowNet2 paper (BASELINE.md)
 
 

@@ -11,6 +11,7 @@ from flownet2_tpu.core.flow_io import (
 )
 from flownet2_tpu.core.codec import encode_flow_int16, decode_flow_int16, FLO_NAN_SENTINEL
 from flownet2_tpu.core.adapt import adapt_shape, AdaptedGeometry
+from flownet2_tpu.core.hostmem import tune_host_allocator
 
 __all__ = [
     "read_flo",
@@ -25,4 +26,5 @@ __all__ = [
     "FLO_NAN_SENTINEL",
     "adapt_shape",
     "AdaptedGeometry",
+    "tune_host_allocator",
 ]

@@ -40,6 +40,11 @@ class BatchLoader:
         epochs: Optional[int] = None,
         transform: Optional[Callable[[dict, np.random.Generator], dict]] = None,
     ):
+        from flownet2_tpu.core.hostmem import tune_host_allocator
+
+        # the prefetch ring churns batch-sized host buffers every step;
+        # without this, glibc mmap/munmaps each one (page-zero tax per batch)
+        tune_host_allocator()
         self.dataset = dataset
         self.batch_size = batch_size
         self.crop = crop

@@ -161,38 +161,41 @@ def make_dp_train_step(loss_fn, tx, mesh: Mesh) -> Callable:
     axes = ("data",)
     n_dev = mesh.shape["data"]
 
-    # Autodiff subtlety that makes the flat buffer essential: inside
-    # shard_map, the transpose of invarying(replicated)→varying dataflow
-    # inserts a psum at every point replicated params enter the varying
-    # computation — differentiating wrt the params PYTREE therefore emits
-    # one collective PER PARAMETER (the very storm this builder removes).
-    # Raveling params to ONE flat vector and marking it varying (pvary) at
-    # a single point gives a transpose with exactly ONE psum.
-    def local_grads(flat_params, unravel, batch):
-        def loss_of_flat(fv):
-            fv = jax.lax.pcast(fv, axes, to="varying")  # transpose: the ONE psum
-            return loss_fn(unravel(fv), batch)
-
-        (loss, aux), gflat = jax.value_and_grad(loss_of_flat, has_aux=True)(
-            flat_params
+    # Autodiff subtlety that makes check_vma=False essential: with varying-
+    # mode checking ON, the transpose of replicated→varying dataflow inserts
+    # a psum at every point replicated params enter the varying computation —
+    # differentiating wrt the params PYTREE emits one collective PER
+    # PARAMETER (the very storm this builder removes). With checking OFF,
+    # grad() returns each device's PARTIAL gradients with no collectives;
+    # raveling that gradient pytree and crossing the mesh with ONE explicit
+    # psum restores the mean. (An earlier formulation kept checking on and
+    # differentiated through unravel(flat_params) so the pcast transpose was
+    # the one psum — but the transpose of each leaf's slice-of-flat is a PAD
+    # to the full flat length, so the flat cotangent was assembled by ~n_leaf
+    # full-size padded adds: ~175 × 150 MB of traffic per step for a FlowNet
+    # stage. Grads wrt the pytree give leaf cotangents directly; the only
+    # full-size ops left are one concat + one psum + the slices back out.)
+    def local_grads(params, batch):
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, batch
         )
-        gflat = gflat / n_dev  # psum'd sum of per-shard grads → mean
+        gflat, g_unravel = ravel_pytree(grads)
+        gflat = jax.lax.psum(gflat, axes) / n_dev  # THE one collective
         # bundle the scalar stats into one small collective too
         aux_flat, aux_unravel = ravel_pytree(aux)
         stats = jnp.concatenate([loss[None].astype(jnp.float32), aux_flat])
         stats = jax.lax.psum(stats, axes) / n_dev
-        return gflat, stats[0], aux_unravel(stats[1:])
+        return g_unravel(gflat), stats[0], aux_unravel(stats[1:])
 
     def step(state, batch):
         batch_specs = batch_partition_specs(batch, spatial=False)
-        flat_params, unravel = ravel_pytree(state.params)
-        gflat, loss, aux = jax.shard_map(
-            lambda fp, b: local_grads(fp, unravel, b),
+        grads, loss, aux = jax.shard_map(
+            local_grads,
             mesh=mesh,
             in_specs=(P(), batch_specs),
             out_specs=P(),
-        )(flat_params, batch)
-        grads = unravel(gflat)
+            check_vma=False,
+        )(state.params, batch)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         new_state = state.replace(

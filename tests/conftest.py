@@ -22,6 +22,12 @@ import jax  # noqa: E402
 # sitecustomize may have pre-registered a TPU backend; force CPU regardless.
 jax.config.update("jax_platforms", "cpu")
 
+from flownet2_tpu.core.hostmem import tune_host_allocator  # noqa: E402
+
+# the suite churns large host/XLA:CPU buffers; glibc's default mmap/munmap
+# per big allocation costs a page-zeroing tax per test on this host class
+tune_host_allocator()
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

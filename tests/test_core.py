@@ -75,3 +75,13 @@ def test_adapt_shape():
     assert (g.adapted_height, g.adapted_width) == (448, 1024)
     assert g.scale_height == 436 / 448.0
     assert g.scale_width == 1.0
+
+
+def test_tune_host_allocator_idempotent():
+    """glibc allocator tuning applies on this platform and is idempotent
+    (see core/hostmem.py: reuse of large buffers instead of per-allocation
+    mmap/munmap page-zeroing)."""
+    from flownet2_tpu.core.hostmem import tune_host_allocator
+
+    assert tune_host_allocator() is True
+    assert tune_host_allocator() is True
