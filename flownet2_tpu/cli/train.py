@@ -31,7 +31,14 @@ def main(argv=None) -> int:
     p.add_argument("--data-root", required=True)
     p.add_argument("--schedule", default="S_long", help="S_long|S_short|S_fine")
     p.add_argument("--solver", default="adam", help="sgd|nesterov|adagrad|rmsprop|adadelta|adam")
-    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--batch", type=int, default=8, help="PER-DEVICE batch size")
+    p.add_argument(
+        "--gpu", default=None, metavar="IDS",
+        help="data-parallel devices: 'all', a count, or a comma list of "
+        "device indices (the reference's `caffe train -gpu 0,1` / 'all', "
+        "tools/caffe.cpp:175-197). Effective batch = --batch x n_devices "
+        "(docs/multigpu.md:11). Default: single device",
+    )
     p.add_argument("--crop", default="320x448", help="HxW training crop")
     p.add_argument("--iter-size", type=int, default=1)
     p.add_argument("--max-iter", type=int, default=0, help="0: schedule default")
@@ -107,6 +114,22 @@ def main(argv=None) -> int:
                 for _ in range(2)
             ]
 
+    mesh = None
+    total_batch = args.batch
+    if args.gpu is not None:
+        from flownet2_tpu.parallel import MeshConfig, make_mesh
+
+        devices = jax.devices()
+        if args.gpu == "all":
+            picked = devices
+        elif "," in args.gpu:
+            picked = [devices[int(i)] for i in args.gpu.split(",")]
+        else:
+            picked = devices[: int(args.gpu)]
+        if len(picked) > 1:
+            mesh = make_mesh(MeshConfig(data=len(picked), spatial=1), picked)
+            total_batch = args.batch * len(picked)
+
     params = MODEL_INITS[args.model](jax.random.PRNGKey(args.seed))
     solver = Solver(
         config,
@@ -115,6 +138,7 @@ def main(argv=None) -> int:
         snapshot_dir=args.snapshot_dir,
         snapshot_interval=args.snapshot_interval,
         display=args.display,
+        mesh=mesh,
     )
     solver.install_signal_handlers()
     for i, m in enumerate(means):
@@ -151,14 +175,15 @@ def main(argv=None) -> int:
 
     loader = BatchLoader(
         dataset,
-        args.batch,
+        total_batch,
         crop=None if transform else (crop_h, crop_w),
         shuffle_seed=args.seed,
         transform=transform,
     )
     print(
         f"Training {args.model} on {args.dataset} ({len(dataset)} samples), "
-        f"{max_iter} iterations, crop {crop_h}x{crop_w}, batch {args.batch}"
+        f"{max_iter} iterations, crop {crop_h}x{crop_w}, batch {total_batch}"
+        + (f" ({args.batch} x {dict(mesh.shape)['data']} devices)" if mesh else "")
     )
 
     def on_step(it, loss, aux):

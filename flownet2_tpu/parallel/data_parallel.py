@@ -20,9 +20,23 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def replicate(tree: Any, mesh: Mesh) -> Any:
-    """Place a pytree fully replicated on the mesh (the initial 'broadcast')."""
+    """Place a pytree fully replicated on the mesh (the initial 'broadcast').
+
+    Donation-safe: when a leaf is already a committed ``jax.Array``,
+    ``device_put`` may ALIAS its buffer (observed on the CPU backend) — a
+    train step that donates the replicated state would then delete the
+    caller's original arrays out from under it. Leaves that are already
+    device arrays are copied first. replicate() runs at init/restore time
+    only, so the extra copy is never on the hot path.
+    """
     sharding = NamedSharding(mesh, P())
-    return jax.device_put(tree, sharding)
+
+    def put(x):
+        if isinstance(x, jax.Array):
+            x = jnp.array(x, copy=True)
+        return jax.device_put(x, sharding)
+
+    return jax.tree.map(put, tree)
 
 
 def batch_sharding(mesh: Mesh, *, spatial: bool = True, ndim: int = 4) -> NamedSharding:

@@ -260,11 +260,25 @@ STAGE_LOSS_KEY = {
 }
 
 
+# Frozen upstream subtrees each stage's loss actually READS (its dataflow
+# dependencies). Shipping only these as the replicated "frozen" batch input
+# matters: replicating dead subtrees costs real host->device bytes per
+# device (e.g. s1 needs flownetc's 39M params, not the other ~120M).
+STAGE_FROZEN_DEPS = {
+    "c": (),
+    "s1": ("flownetc",),
+    "s2": ("flownetc", "flownets_1"),
+    "sd": (),
+    "fusion": ("flownetc", "flownets_1", "flownets_2", "flownetsd"),
+}
+
+
 def split_stage_params(params: dict, stage: str) -> tuple[dict, dict]:
-    """Split a full-cascade pytree into (trainable subtree, frozen rest)
-    for one stage of the stage-wise recipe."""
+    """Split a full-cascade pytree into (trainable subtree, frozen deps)
+    for one stage of the stage-wise recipe. The frozen dict carries ONLY
+    the subtrees the stage's loss reads (STAGE_FROZEN_DEPS)."""
     sub = STAGE_SUBTREE[stage]
-    return params[sub], {k: v for k, v in params.items() if k != sub}
+    return params[sub], {k: params[k] for k in STAGE_FROZEN_DEPS[stage]}
 
 
 def make_split_stage_loss(stage: str) -> Callable:

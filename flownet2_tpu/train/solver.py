@@ -120,18 +120,29 @@ class Solver:
         test_interval: int = 0,
         jit_step: bool = True,
         loss_schedule: Optional[Any] = None,
+        mesh: Optional[Any] = None,
     ):
         """``loss_schedule``: an optional :class:`~flownet2_tpu.ops.losses.
         LpqSchedule`-like object with ``.at(iteration) -> episode_key``; when
         the episode changes, ``loss_fn(params, batch, episode=...)`` is
         re-bound and the step re-jitted (the reference swaps the Lpq power
         sublayers' exponents at episode boundaries, lpq_loss_layer.cu:97-140).
+
+        ``mesh``: an optional ``jax.sharding.Mesh`` with a 'data' axis. When
+        given, the step trains data-parallel across the mesh: params/opt
+        state replicated, batches sharded over 'data', gradients reduced by
+        one fused psum (the P2PSync replacement, parallel.cpp:287-380 —
+        ``caffe train -gpu a,b,...``'s solver role). Host batches passed to
+        :meth:`step` are placed on the mesh automatically; their leading dim
+        must be the GLOBAL batch (per-device batch × mesh devices, the
+        reference's effective-batch semantics, docs/multigpu.md:11).
         """
         self.config = config
         self.tx = make_solver(config)
         self._loss_fn = loss_fn
         self._loss_schedule = loss_schedule
         self._jit_step_flag = jit_step
+        self.mesh = mesh
         self._episode = loss_schedule.at(0) if loss_schedule else None
         self.step_fn = self._build_step(self._episode)
         self.state = TrainState(
@@ -139,6 +150,10 @@ class Solver:
             opt_state=self.tx.init(init_params),
             iteration=jnp.zeros([], jnp.int32),
         )
+        if mesh is not None:
+            from flownet2_tpu.parallel import replicate
+
+            self.state = replicate(self.state, mesh)
         self.snapshot_dir = snapshot_dir
         self.snapshot_interval = snapshot_interval
         self.display = display
@@ -179,6 +194,19 @@ class Solver:
             def loss(params, batch):
                 return base(params, batch, episode=episode)
 
+        if self.mesh is not None:
+            from flownet2_tpu.parallel import (
+                make_dp_train_step,
+                make_parallel_train_step,
+            )
+
+            if self.config.iter_size == 1:
+                # the fused single-psum path (GPUParams design)
+                return make_dp_train_step(loss, self.tx, self.mesh)
+            # iter_size accumulation composes with GSPMD sharding instead
+            inner = make_train_step(loss, self.tx, iter_size=self.config.iter_size)
+            return make_parallel_train_step(inner, self.mesh, spatial=False)
+
         step = make_train_step(loss, self.tx, iter_size=self.config.iter_size)
         return jax.jit(step, donate_argnums=0) if self._jit_step_flag else step
 
@@ -196,6 +224,10 @@ class Solver:
             if episode != self._episode:
                 self._episode = episode
                 self.step_fn = self._build_step(episode)
+        if self.mesh is not None:
+            from flownet2_tpu.parallel import shard_batch
+
+            batch = shard_batch(batch, self.mesh, spatial=False)
         self.state, loss, aux = self.step_fn(self.state, batch)
         loss = float(loss)
         self._loss_window.append(loss)
@@ -280,6 +312,10 @@ class Solver:
 
         ckptr = ocp.StandardCheckpointer()
         self.state = ckptr.restore(path, self.state)
+        if self.mesh is not None:
+            from flownet2_tpu.parallel import replicate
+
+            self.state = replicate(self.state, self.mesh)
         extra_path = path + "_extra.npz"
         if self._extras and os.path.exists(extra_path):
             data = np.load(extra_path)
@@ -319,3 +355,7 @@ class Solver:
             return out
 
         self.state = self.state.replace(params=merge(own, params))
+        if self.mesh is not None:
+            from flownet2_tpu.parallel import replicate
+
+            self.state = replicate(self.state, self.mesh)

@@ -177,3 +177,30 @@ def test_training_with_mean_recompute(tmp_path):
     # window=2: the mean froze after iteration 2 and is a real image mean
     assert means[0].mean.shape == (crop_h, crop_w, 3)
     assert 0.0 < means[0].mean.mean() < 1.0  # images are in [0,1] pre-x255
+
+
+@needs_examples
+def test_train_cli_multidevice(tmp_path):
+    """`train --gpu all` — the reference's `caffe train -gpu all`
+    (tools/caffe.cpp:175-197): data-parallel mesh over every local device,
+    effective batch = --batch x n_devices (docs/multigpu.md:11). Runs the
+    full CLI path (loader -> augmenter -> DP solver -> snapshot) in-process
+    on the 8-virtual-device mesh."""
+    from flownet2_tpu.cli.train import main
+
+    rc = main([
+        "--model", "flownets",
+        "--dataset", "flyingchairs",
+        "--data-root", EXAMPLES,
+        "--batch", "1",
+        "--gpu", "all",
+        "--crop", "64x64",
+        "--max-iter", "2",
+        "--display", "1",
+        "--snapshot-dir", str(tmp_path / "snaps"),
+        "--snapshot-interval", "0",
+        "--no-augment",
+    ])
+    assert rc == 0
+    # final snapshot written at iteration 2
+    assert (tmp_path / "snaps" / "iter_0000002").is_dir()

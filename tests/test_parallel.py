@@ -158,3 +158,61 @@ def test_graft_entry_dryrun(monkeypatch):
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     mod.dryrun_multichip(8)
+
+
+def test_solver_with_mesh_matches_single_device(tmp_path):
+    """Solver(mesh=...) — the `caffe train -gpu a,b,...` role — must produce
+    the same optimization trajectory as the single-device Solver, and its
+    snapshot/restore must round-trip with re-replication."""
+    from flownet2_tpu.train.solver import Solver
+
+    cfg = SolverConfig(solver_type="sgd", base_lr=0.1, momentum=0.9)
+    params = {
+        "w": jnp.asarray(
+            np.random.default_rng(0).standard_normal((4, 2)), jnp.float32
+        )
+    }
+    rng = np.random.default_rng(1)
+    batches = [
+        {
+            "x": rng.standard_normal((8, 4)).astype(np.float32),
+            "y": rng.standard_normal((8, 2)).astype(np.float32),
+        }
+        for _ in range(3)
+    ]
+
+    s_single = Solver(cfg, _toy_loss, params, display=0)
+    s_mesh = Solver(
+        cfg, _toy_loss, params, display=0,
+        mesh=make_mesh(MeshConfig(data=8, spatial=1)),
+    )
+    for b in batches:
+        loss0, _ = s_single.step(jax.tree.map(jnp.asarray, b))
+        loss1, _ = s_mesh.step(b)
+        assert loss0 == pytest.approx(loss1, rel=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(s_single.state.params["w"]),
+        np.asarray(s_mesh.state.params["w"]),
+        rtol=1e-5,
+    )
+
+    # snapshot under the mesh, restore into a fresh mesh solver, keep stepping
+    s_mesh.snapshot_dir = str(tmp_path)
+    path = s_mesh.snapshot()
+    # fresh init params: the single-device solver's donating step consumed
+    # the original `params` buffers (documented jit-donation semantics)
+    params2 = {
+        "w": jnp.asarray(
+            np.random.default_rng(7).standard_normal((4, 2)), jnp.float32
+        )
+    }
+    s_resumed = Solver(
+        cfg, _toy_loss, params2, display=0,
+        mesh=make_mesh(MeshConfig(data=8, spatial=1)),
+    )
+    s_resumed.restore(path)
+    assert s_resumed.iteration == s_mesh.iteration
+    b = batches[0]
+    loss_a, _ = s_mesh.step(b)
+    loss_b, _ = s_resumed.step(b)
+    assert loss_a == pytest.approx(loss_b, rel=1e-6)
