@@ -58,6 +58,10 @@ def flow_warp(
                    come from the hand-derived windowed VJP (3× faster than
                    autodiff through the scan), so training works
                    identically;
+      "halo"     — spatially-sharded exact warp with bounded halo exchange
+                   (flow_warp_halo; needs an activation_sharding(mesh)
+                   context). Opt-in: moves 2*halo boundary rows over ICI
+                   instead of the all-gather GSPMD inserts for "gather";
       "auto"     — "pallas" for bf16 images on a TPU, else "gather".
                    Override globally with FLOWNET2_TPU_WARP.
     """
@@ -84,6 +88,16 @@ def flow_warp(
         return _flow_warp_windowed_hand(image, flow, fill_value)
     if method == "onehot":
         return flow_warp_onehot(image, flow, fill_value)
+    if method == "halo":
+        from flownet2_tpu.parallel.annotate import current_mesh
+
+        mesh = current_mesh()
+        if mesh is None:
+            raise ValueError(
+                "method='halo' needs an activation_sharding(mesh) context "
+                "or call flow_warp_halo(..., mesh=...) directly"
+            )
+        return flow_warp_halo(image, flow, fill_value, mesh=mesh)
     if method == "gather":
         if jax.default_backend() in ("tpu", "axon"):
             # The gather formulation's image gradient is a scatter-add,
@@ -113,14 +127,24 @@ def flow_warp_gather(
     y2 = ys[None] + flow[..., 1].astype(jnp.float32)
 
     valid = (x2 >= 0) & (y2 >= 0) & (x2 < w) & (y2 < h)
+    out = _bilinear_sample(img, x2, y2, valid, fill_value)
+    return out.astype(orig_dtype)
 
+
+def _bilinear_sample(img, x2, y2, valid, fill_value):
+    """Bilinear patch-gather core: sample ``img`` (N,Hs,W,C) f32 at float
+    coordinates ``x2``/``y2`` (N,H,W, in img's own row/col space), masked by
+    ``valid``. Shared by the whole-image gather warp and the halo-exchange
+    sharded warp (which samples an extended local tile at offset rows)."""
+    n, hs, w, c = img.shape
+    h = x2.shape[1]
     # Patch base: min(floor, size-2) keeps the 2×2 footprint in-bounds; the
     # clipped fractional weight makes the clamped column/row exact
     # (flow_warp_layer.cpp:88-94's min(ix_L+1, width-1) convention).
     x2s = jnp.clip(x2, 0.0, w - 1)
-    y2s = jnp.clip(y2, 0.0, h - 1)
+    y2s = jnp.clip(y2, 0.0, hs - 1)
     xb = jnp.minimum(jnp.floor(x2s).astype(jnp.int32), w - 2)
-    yb = jnp.minimum(jnp.floor(y2s).astype(jnp.int32), h - 2)
+    yb = jnp.minimum(jnp.floor(y2s).astype(jnp.int32), hs - 2)
     alpha = jnp.clip(x2s - xb.astype(jnp.float32), 0.0, 1.0)[..., None]
     beta = jnp.clip(y2s - yb.astype(jnp.float32), 0.0, 1.0)[..., None]
 
@@ -138,8 +162,84 @@ def flow_warp_gather(
     top = patches[:, :, :, 0, 0] * (1 - alpha) + patches[:, :, :, 0, 1] * alpha
     bot = patches[:, :, :, 1, 0] * (1 - alpha) + patches[:, :, :, 1, 1] * alpha
     out = top * (1 - beta) + bot * beta
-    out = jnp.where(valid[..., None], out, jnp.float32(fill_value))
-    return out.astype(orig_dtype)
+    return jnp.where(valid[..., None], out, jnp.float32(fill_value))
+
+
+def flow_warp_halo(
+    image: jnp.ndarray,
+    flow: jnp.ndarray,
+    fill_value: float = 0.0,
+    *,
+    mesh,
+    halo: int = 56,
+    axis: str = "spatial",
+) -> jnp.ndarray:
+    """Spatially-sharded FlowWarp with bounded halo exchange.
+
+    GSPMD's default partitioning of the gather warp ALL-GATHERS the source
+    image onto every device of the spatial axis (the gather's row indices
+    are data-dependent, so the partitioner must assume any row can be
+    needed). But vertical flow is bounded in practice — the windowed/Pallas
+    warp already documents a per-tile |dy| budget — so each device only
+    needs ``halo`` rows from each spatial neighbor. This op makes that
+    explicit the TPU way: a ``shard_map`` whose body ``ppermute``s the
+    boundary rows to adjacent spatial shards over ICI and bilinearly
+    samples its extended local tile. Cross-device traffic per shard drops
+    from the whole image (all-gather) to ``2*halo`` rows.
+
+    Contract: exact (== the gather warp) for targets with |dy| <= halo;
+    larger vertical displacements clamp to the nearest exchanged row (the
+    same window-edge clamp contract as ops/pallas/warp.py). Horizontal
+    range is unrestricted (W is never sharded on this mesh).
+
+    Reference semantics reproduced: flow_warp_layer.cpp:74-195 (bilinear
+    sample, fill outside, clamp-right/bottom edge convention).
+    """
+    from jax.sharding import PartitionSpec as P
+
+    s = mesh.shape.get(axis, 1)
+    if s <= 1:
+        return flow_warp_gather(image, flow, fill_value)
+    n, h, w, c = image.shape
+    if h % s != 0:
+        raise ValueError(f"H={h} must divide the {axis} axis ({s})")
+    if flow.shape[:3] != (n, h, w) or flow.shape[3] != 2:
+        raise ValueError(f"flow shape {flow.shape} incompatible with image {image.shape}")
+    halo = min(halo, h // s)  # a shard never needs more than a full neighbor
+
+    def body(img_t, flow_t):
+        nl, hl, _, _ = img_t.shape
+        idx = lax.axis_index(axis)
+        offset = (idx * hl).astype(jnp.float32)
+        img32 = img_t.astype(jnp.float32)
+        # boundary-row exchange: rows ABOVE my tile come from the previous
+        # shard's bottom rows, rows BELOW from the next shard's top rows;
+        # edge shards receive zeros (never read by globally-valid targets)
+        up = lax.ppermute(
+            img32[:, -halo:], axis, [(i, i + 1) for i in range(s - 1)]
+        )
+        down = lax.ppermute(
+            img32[:, :halo], axis, [(i + 1, i) for i in range(s - 1)]
+        )
+        ext = jnp.concatenate([up, img32, down], axis=1)
+
+        xs = lax.broadcasted_iota(jnp.float32, (hl, w), 1)
+        ys = lax.broadcasted_iota(jnp.float32, (hl, w), 0) + offset
+        x2 = xs[None] + flow_t[..., 0].astype(jnp.float32)
+        y2g = ys[None] + flow_t[..., 1].astype(jnp.float32)  # global rows
+        valid = (x2 >= 0) & (y2g >= 0) & (x2 < w) & (y2g < h)
+        # clamp to the GLOBAL image rows BEFORE converting to extended-tile
+        # coordinates: the base warp's clamp-bottom convention must resolve
+        # against the real last row, not the edge shard's zero-filled halo
+        ye = jnp.clip(y2g, 0.0, h - 1) - offset + halo
+        out = _bilinear_sample(ext, x2, ye, valid, fill_value)
+        return out.astype(img_t.dtype)
+
+    data = mesh.shape.get("data", 1)
+    spec = P("data" if data > 1 and n % data == 0 else None, axis)
+    return jax.shard_map(
+        body, mesh=mesh, in_specs=(spec, spec), out_specs=spec
+    )(image, flow)
 
 
 def flow_warp_onehot(

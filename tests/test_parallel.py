@@ -216,3 +216,44 @@ def test_solver_with_mesh_matches_single_device(tmp_path):
     loss_a, _ = s_mesh.step(b)
     loss_b, _ = s_resumed.step(b)
     assert loss_a == pytest.approx(loss_b, rel=1e-6)
+
+
+def test_flow_warp_halo_matches_gather():
+    """The halo-exchange sharded warp must equal the whole-image gather warp
+    for flows within the halo budget, including out-of-bounds fill and the
+    edge-clamp conventions, on a (data=4, spatial=2) mesh."""
+    from flownet2_tpu.ops.warp import flow_warp_gather, flow_warp_halo
+
+    rng = np.random.default_rng(3)
+    n, h, w, c = 4, 64, 48, 3
+    image = jnp.asarray(rng.uniform(0, 255, (n, h, w, 3)), jnp.float32)
+    # vertical flow within +-halo budget; horizontal unrestricted (incl.
+    # far out-of-bounds -> fill); some rows pushed past the image edge
+    flow = jnp.asarray(
+        np.stack(
+            [
+                rng.uniform(-60, 60, (n, h, w)),  # dx: drives fill + clamps
+                rng.uniform(-6, 6, (n, h, w)),  # dy: within every mesh's halo budget
+            ],
+            axis=-1,
+        ),
+        jnp.float32,
+    )
+
+    ref = flow_warp_gather(image, flow, 0.0)
+    for mesh_cfg in (MeshConfig(data=4, spatial=2), MeshConfig(data=1, spatial=8)):
+        mesh = make_mesh(mesh_cfg)
+        got = flow_warp_halo(image, flow, 0.0, mesh=mesh, halo=16)
+        # atol covers FMA-formation ULP differences between the sharded and
+        # whole-image programs (same f32 math, different fusion decisions)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-3)
+
+    # NaN fill mode (the reference's second fill convention)
+    ref_nan = flow_warp_gather(image, flow, float("nan"))
+    got_nan = flow_warp_halo(
+        image, flow, float("nan"), mesh=make_mesh(MeshConfig(data=4, spatial=2)),
+        halo=16,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_nan), np.asarray(ref_nan), atol=1e-3
+    )
