@@ -257,3 +257,33 @@ def test_flow_warp_halo_matches_gather():
     np.testing.assert_allclose(
         np.asarray(got_nan), np.asarray(ref_nan), atol=1e-3
     )
+
+
+def test_flow_warp_halo_gradients_match_gather():
+    """Autodiff through the halo warp (shard_map + ppermute + gather) must
+    produce the same image/flow gradients as the whole-image gather warp —
+    the sharded warp is trainable, not inference-only."""
+    from flownet2_tpu.ops.warp import flow_warp_gather, flow_warp_halo
+
+    rng = np.random.default_rng(5)
+    n, h, w = 2, 32, 16
+    image = jnp.asarray(rng.uniform(0, 255, (n, h, w, 3)), jnp.float32)
+    flow = jnp.asarray(
+        np.stack(
+            [rng.uniform(-4, 4, (n, h, w)), rng.uniform(-4, 4, (n, h, w))],
+            axis=-1,
+        ),
+        jnp.float32,
+    )
+    mesh = make_mesh(MeshConfig(data=2, spatial=4))
+
+    def loss_ref(im, fl):
+        return jnp.sum(jnp.square(flow_warp_gather(im, fl, 0.0)))
+
+    def loss_halo(im, fl):
+        return jnp.sum(jnp.square(flow_warp_halo(im, fl, 0.0, mesh=mesh, halo=8)))
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1))(image, flow)
+    g_halo = jax.grad(loss_halo, argnums=(0, 1))(image, flow)
+    for a, b in zip(g_ref, g_halo):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-2)
