@@ -60,6 +60,19 @@ def main(argv=None) -> int:
         help="subtract the full per-pixel mean instead of its per-channel average",
     )
     p.add_argument(
+        "--device-cache", type=int, default=0, metavar="N",
+        help="hold a rolling cache of N samples in device HBM (transport-"
+        "encoded) and draw training batches from it by on-device gather; a "
+        "background thread refreshes the cache from the dataset at whatever "
+        "rate the host link sustains. Decouples step rate from host-link "
+        "bandwidth (data/device_cache.py). Single-device only.",
+    )
+    p.add_argument(
+        "--cache-slab", type=int, default=64, metavar="K",
+        help="samples per cache slab (refresh granularity; --device-cache "
+        "rounds up to a multiple of this)",
+    )
+    p.add_argument(
         "--write-augmented", default=None, metavar="DIR",
         help="debug: dump augmented batches + coefficient log to DIR every "
         "display interval (AugmentationParameter.write_augmented)",
@@ -113,6 +126,10 @@ def main(argv=None) -> int:
                               per_pixel=args.mean_per_pixel)
                 for _ in range(2)
             ]
+    if args.device_cache > 0:
+        from flownet2_tpu.data.device_cache import make_cache_gather_loss
+
+        loss_fn = make_cache_gather_loss(loss_fn)
 
     mesh = None
     total_batch = args.batch
@@ -173,17 +190,63 @@ def main(argv=None) -> int:
                 batch = m.attach(batch, key=k)
             return batch
 
-    loader = BatchLoader(
-        dataset,
-        total_batch,
-        crop=None if transform else (crop_h, crop_w),
-        shuffle_seed=args.seed,
-        transform=transform,
-    )
+    cache = None
+    if args.device_cache > 0:
+        if mesh is not None:
+            raise SystemExit("--device-cache is single-device (see device_cache.py)")
+        if args.write_augmented:
+            raise SystemExit("--device-cache does not support --write-augmented")
+        from flownet2_tpu.data.device_cache import (
+            CacheBatches,
+            DeviceSampleCache,
+            cycle_dataset,
+        )
+        from flownet2_tpu.data.records import FlowRecordReader
+
+        if isinstance(dataset, FlowRecordReader):
+            dataset.transport = True  # uint8/int16 uploads, decode on device
+        sample_iter = cycle_dataset(dataset, seed=args.seed)
+        if args.no_augment:
+            # crop before caching (the augmented path crops on device)
+            def _cropped(it, ch=crop_h, cw=crop_w):
+                for s in it:
+                    h, w = s["img0"].shape[:2]
+                    y0, x0 = (h - ch) // 2, (w - cw) // 2
+                    yield {k: v[y0 : y0 + ch, x0 : x0 + cw] for k, v in s.items()}
+
+            sample_iter = _cropped(sample_iter)
+        probe = dataset[0]
+        src_h, src_w = (crop_h, crop_w) if args.no_augment else probe["img0"].shape[:2]
+        n_slabs = max(2, -(-args.device_cache // args.cache_slab))
+        cache = DeviceSampleCache(
+            sample_iter, slab_samples=args.cache_slab, n_slabs=n_slabs
+        )
+        aug_sampler = None
+        if not args.no_augment:
+            from flownet2_tpu.data.augment_pipeline import (
+                FlowNetAugConfig,
+                sample_aug_arrays,
+            )
+
+            def aug_sampler(rng, n, _cfg=FlowNetAugConfig()):  # noqa: E306
+                return sample_aug_arrays(_cfg, rng, n, src_h, src_w, crop_h, crop_w)
+
+        loader = CacheBatches(
+            cache, total_batch, seed=args.seed, aug_sampler=aug_sampler
+        )
+    else:
+        loader = BatchLoader(
+            dataset,
+            total_batch,
+            crop=None if transform else (crop_h, crop_w),
+            shuffle_seed=args.seed,
+            transform=transform,
+        )
     print(
         f"Training {args.model} on {args.dataset} ({len(dataset)} samples), "
         f"{max_iter} iterations, crop {crop_h}x{crop_w}, batch {total_batch}"
         + (f" ({args.batch} x {dict(mesh.shape)['data']} devices)" if mesh else "")
+        + (f", device cache {cache.stats()['capacity_samples']} samples" if cache else "")
     )
 
     def on_step(it, loss, aux):
@@ -199,7 +262,20 @@ def main(argv=None) -> int:
             for i, m in enumerate(means):
                 m.write_mean(os.path.join(args.write_augmented, f"mean{i}.float3"))
 
-    solver.solve(iter(loader), max_iter=max_iter, on_step=on_step, batch_hook=batch_hook)
+    try:
+        solver.solve(
+            iter(loader), max_iter=max_iter, on_step=on_step, batch_hook=batch_hook
+        )
+    finally:
+        if cache is not None:
+            cache.stop()
+    if cache is not None:
+        st = cache.stats()
+        print(
+            f"Device cache: {st['slabs_swapped']} slab refreshes, "
+            f"{st['samples_uploaded']} samples uploaded "
+            f"({st['bytes_uploaded'] / 1e6:.0f} MB)"
+        )
     print(f"Optimization done, final smoothed loss {solver.smoothed_loss:.4f}")
     return 0
 

@@ -35,6 +35,32 @@ def decode_flow_int16(data: np.ndarray) -> np.ndarray:
     return np.where(data == FLO_NAN_SENTINEL, np.float32(np.nan), out)
 
 
+def decode_flow_int16_device(data) -> "jax.Array":  # noqa: F821
+    """Device-side (jax) twin of :func:`decode_flow_int16`, for batches that
+    travel host→device in the TRANSPORT domain (int16 fixed point, 2 bytes/
+    value instead of 4): the decode runs inside the jitted step, halving the
+    upload bytes — the same reason the reference ships UINT16FLOW datums to
+    the GPU era's host RAM instead of floats (custom_data_layer.cpp:94-112).
+    """
+    import jax.numpy as jnp
+
+    data = data.astype(jnp.int16)
+    out = data.astype(jnp.float32) * (1.0 / FLO_SCALE)
+    return jnp.where(data == jnp.int16(FLO_NAN_SENTINEL), jnp.float32(jnp.nan), out)
+
+
+def flow_as_f32_device(flow) -> "jax.Array":  # noqa: F821
+    """Normalize a flow batch to float32 on device, whatever domain it
+    arrived in: int16 transport records decode (×1/32, SHRT_MAX→NaN);
+    floating inputs just cast. The single entry point every objective uses
+    so transport-domain batches work everywhere."""
+    import jax.numpy as jnp
+
+    if flow.dtype == jnp.int16:
+        return decode_flow_int16_device(flow)
+    return flow.astype(jnp.float32)
+
+
 def encode_occlusion_bits(occ: np.ndarray) -> np.ndarray:
     """Bit-pack a boolean occlusion map row-major into uint8.
 

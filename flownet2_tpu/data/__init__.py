@@ -17,9 +17,19 @@ from flownet2_tpu.data.datasets import (
 )
 from flownet2_tpu.data.lmdb import LmdbFlowDataset, LmdbReader
 from flownet2_tpu.data.records import FlowRecordReader, FlowRecordWriter
-from flownet2_tpu.data.pipeline import BatchLoader
+from flownet2_tpu.data.pipeline import BatchLoader, DevicePrefetcher
+from flownet2_tpu.data.device_cache import (
+    CacheBatches,
+    DeviceSampleCache,
+    cycle_dataset,
+    make_cache_gather_loss,
+)
 
 __all__ = [
+    "CacheBatches",
+    "DeviceSampleCache",
+    "cycle_dataset",
+    "make_cache_gather_loss",
     "FlowPairDataset",
     "FlyingChairs",
     "FlyingThings3D",
@@ -30,4 +40,5 @@ __all__ = [
     "FlowRecordReader",
     "FlowRecordWriter",
     "BatchLoader",
+    "DevicePrefetcher",
 ]

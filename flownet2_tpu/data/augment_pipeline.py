@@ -74,6 +74,75 @@ class FlowNetAugConfig:
     schedule: CoeffSchedule = CoeffSchedule(half_life=50000, initial_coeff=0.5, final_coeff=1.0)
 
 
+def sample_aug_arrays(
+    config: FlowNetAugConfig,
+    rng: np.random.Generator,
+    n: int,
+    src_h: int,
+    src_w: int,
+    crop_h: int,
+    crop_w: int,
+    discount: float = 1.0,
+) -> dict:
+    """Sample the per-item augmentation coefficient arrays for a batch of
+    ``n`` items at source resolution (src_h, src_w) — no pixel data needed
+    (coefficients depend only on geometry). Returns the ``aug_*`` dict that
+    :func:`apply_augmentation_device` consumes."""
+    from flownet2_tpu.ops.augment import (
+        _sample_spec_n,
+        sample_valid_spatial_coeffs_batch,
+    )
+
+    geo = dict(crop_w=crop_w, crop_h=crop_h, src_w=src_w, src_h=src_h)
+    c0 = sample_valid_spatial_coeffs_batch(
+        config.spatial, rng, n_items=n, discount=discount, **geo
+    )
+    c1 = sample_valid_spatial_coeffs_batch(
+        config.spatial_offset, rng, n_items=n, discount=discount, base=c0, **geo
+    )
+    m0 = np.zeros((n, 6), np.float32)
+    m1 = np.zeros((n, 6), np.float32)
+    inv1 = np.zeros((n, 6), np.float32)
+    for i in range(n):
+        a0 = spatial_matrix(
+            SpatialCoeffs(*(float(v) for v in c0[i])), crop_w, crop_h, src_w, src_h
+        )
+        a1 = spatial_matrix(
+            SpatialCoeffs(*(float(v) for v in c1[i])), crop_w, crop_h, src_w, src_h
+        )
+        m0[i] = a0
+        m1[i] = a1
+        inv1[i] = invert_affine(a1)
+
+    ch = config.chromatic
+    one = np.ones((n,), np.float32)
+    gamma = _sample_spec_n(ch.gamma, rng, n, discount).astype(np.float32) if ch.gamma else one
+    brightness = _sample_spec_n(ch.brightness, rng, n, discount).astype(np.float32) if ch.brightness else one * 0
+    contrast = _sample_spec_n(ch.contrast, rng, n, discount).astype(np.float32) if ch.contrast else one
+    if ch.color is not None:
+        color = np.stack(
+            [_sample_spec_n(ch.color, rng, n, discount) for _ in range(3)], axis=1
+        ).astype(np.float32)
+    else:
+        color = np.ones((n, 3), np.float32)
+    if config.effect.noise is not None:
+        noise = np.maximum(
+            _sample_spec_n(config.effect.noise, rng, n, discount), 0.0
+        ).astype(np.float32)
+    else:
+        noise = np.zeros((n,), np.float32)
+    return dict(
+        aug_mat0=m0,
+        aug_mat1=m1,
+        aug_inv_mat1=inv1,
+        aug_gamma=gamma,
+        aug_brightness=brightness,
+        aug_contrast=contrast,
+        aug_color=color,
+        aug_noise=noise,
+    )
+
+
 def make_flownet_augmenter(
     crop_h: int,
     crop_w: int,
@@ -88,63 +157,12 @@ def make_flownet_augmenter(
     Images/flow stay at source resolution; the device side produces crops.
     """
 
-    from flownet2_tpu.ops.augment import (
-        _sample_spec_n,
-        sample_valid_spatial_coeffs_batch,
-    )
-
     def transform(batch: dict, rng: np.random.Generator) -> dict:
         n, src_h, src_w = batch["img0"].shape[:3]
         # iteration isn't known host-side; callers can pre-scale spreads.
-        discount = 1.0
-        geo = dict(crop_w=crop_w, crop_h=crop_h, src_w=src_w, src_h=src_h)
-        c0 = sample_valid_spatial_coeffs_batch(
-            config.spatial, rng, n_items=n, discount=discount, **geo
-        )
-        c1 = sample_valid_spatial_coeffs_batch(
-            config.spatial_offset, rng, n_items=n, discount=discount, base=c0, **geo
-        )
-        m0 = np.zeros((n, 6), np.float32)
-        m1 = np.zeros((n, 6), np.float32)
-        inv1 = np.zeros((n, 6), np.float32)
-        for i in range(n):
-            a0 = spatial_matrix(
-                SpatialCoeffs(*(float(v) for v in c0[i])), crop_w, crop_h, src_w, src_h
-            )
-            a1 = spatial_matrix(
-                SpatialCoeffs(*(float(v) for v in c1[i])), crop_w, crop_h, src_w, src_h
-            )
-            m0[i] = a0
-            m1[i] = a1
-            inv1[i] = invert_affine(a1)
-
-        ch = config.chromatic
-        one = np.ones((n,), np.float32)
-        gamma = _sample_spec_n(ch.gamma, rng, n, discount).astype(np.float32) if ch.gamma else one
-        brightness = _sample_spec_n(ch.brightness, rng, n, discount).astype(np.float32) if ch.brightness else one * 0
-        contrast = _sample_spec_n(ch.contrast, rng, n, discount).astype(np.float32) if ch.contrast else one
-        if ch.color is not None:
-            color = np.stack(
-                [_sample_spec_n(ch.color, rng, n, discount) for _ in range(3)], axis=1
-            ).astype(np.float32)
-        else:
-            color = np.ones((n, 3), np.float32)
-        if config.effect.noise is not None:
-            noise = np.maximum(
-                _sample_spec_n(config.effect.noise, rng, n, discount), 0.0
-            ).astype(np.float32)
-        else:
-            noise = np.zeros((n,), np.float32)
         batch = dict(batch)
         batch.update(
-            aug_mat0=m0,
-            aug_mat1=m1,
-            aug_inv_mat1=inv1,
-            aug_gamma=gamma,
-            aug_brightness=brightness,
-            aug_contrast=contrast,
-            aug_color=color,
-            aug_noise=noise,
+            sample_aug_arrays(config, rng, n, src_h, src_w, crop_h, crop_w)
         )
         return batch
 
@@ -182,8 +200,10 @@ def apply_augmentation_device(
     img1 = apply_spatial_transform(
         batch["img1"].astype(jnp.float32) / 255.0, batch["aug_mat1"], crop_h, crop_w
     )
+    from flownet2_tpu.core.codec import flow_as_f32_device
+
     flow = apply_flow_augmentation(
-        batch["flow"].astype(jnp.float32),
+        flow_as_f32_device(batch["flow"]),
         batch["aug_mat0"],
         batch["aug_inv_mat1"],
         crop_h,

@@ -86,10 +86,20 @@ class FlowRecordWriter:
 
 class FlowRecordReader:
     """Random-access reader; an item loads to the same dict shape as
-    FlowPairDataset items (float32 HWC arrays, flow with NaN invalids)."""
+    FlowPairDataset items (float32 HWC arrays, flow with NaN invalids).
 
-    def __init__(self, path: str):
+    ``transport=True`` keeps items in the on-disk TRANSPORT domain instead:
+    uint8 images and int16 fixed-point flow, zero host decode (the arrays
+    are raw views of the record body). Batches built from transport items
+    upload 3.2× fewer host→device bytes; the decode to f32 runs inside the
+    jitted step (core/codec.flow_as_f32_device) — the same division of
+    labor as the reference's UINT16FLOW datums, which stay fixed-point
+    until the data layer's device-side decode (custom_data_layer.cpp:94-112).
+    """
+
+    def __init__(self, path: str, *, transport: bool = False):
         self.path = os.fspath(path)
+        self.transport = transport
         self._f = open(self.path, "rb")
         if self._f.read(4) != MAGIC:
             raise ValueError(f"{path}: not a .flowrec file")
@@ -104,15 +114,16 @@ class FlowRecordReader:
         self._f.seek(int(self._offsets[i]))
         (length,) = struct.unpack("<Q", self._f.read(8))
         body = self._f.read(length)
-        # native fast path (cpp/flowdata.cc); numpy fallback below
-        from flownet2_tpu.data import native
+        if not self.transport:
+            # native fast path (cpp/flowdata.cc); numpy fallback below
+            from flownet2_tpu.data import native
 
-        try:
-            decoded = native.decode_record(body)
-        except ValueError as e:
-            raise ValueError(f"{self.path}[{i}]: {e}") from None
-        if decoded is not None:
-            return decoded
+            try:
+                decoded = native.decode_record(body)
+            except ValueError as e:
+                raise ValueError(f"{self.path}[{i}]: {e}") from None
+            if decoded is not None:
+                return decoded
         h, w, flags = struct.unpack_from("<III", body, 0)
         off = 12
         n_img = h * w * 3
@@ -121,21 +132,24 @@ class FlowRecordReader:
         img1 = np.frombuffer(body, np.uint8, n_img, off).reshape(h, w, 3)
         off += n_img
         n_flow_ch = 1 if flags & _FLAG_DISPARITY else 2
-        flow = decode_flow_int16(
-            np.frombuffer(body, np.int16, h * w * n_flow_ch, off).reshape(h, w, n_flow_ch)
+        flow_i16 = np.frombuffer(body, np.int16, h * w * n_flow_ch, off).reshape(
+            h, w, n_flow_ch
         )
         off += h * w * n_flow_ch * 2
-        out = {
-            "img0": img0.astype(np.float32),
-            "img1": img1.astype(np.float32),
-            "flow": flow,
-        }
+        if self.transport:
+            out = {"img0": img0, "img1": img1, "flow": flow_i16}
+        else:
+            out = {
+                "img0": img0.astype(np.float32),
+                "img1": img1.astype(np.float32),
+                "flow": decode_flow_int16(flow_i16),
+            }
         if flags & _FLAG_OCC:
             n_occ = (h * w + 7) // 8
             occ = decode_occlusion_bits(
                 np.frombuffer(body, np.uint8, n_occ, off), (h, w)
             )
-            out["occ"] = occ.astype(np.float32)[..., None]
+            out["occ"] = occ.astype(np.uint8 if self.transport else np.float32)[..., None]
         return out
 
     def close(self):

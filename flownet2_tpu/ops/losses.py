@@ -162,6 +162,7 @@ def multiscale_l1_loss(
     *,
     l2_per_location: bool = True,
     downsample_gt: bool = True,
+    normalize: bool = False,
 ) -> tuple[jnp.ndarray, dict[str, jnp.ndarray]]:
     """Weighted sum of per-scale EPE losses.
 
@@ -169,6 +170,13 @@ def multiscale_l1_loss(
     downsampled to each prediction's resolution with the NaN-aware area
     downsample, exactly as the reference training nets wire Downsample →
     L1Loss per scale (SURVEY.md §3.2).
+
+    ``normalize`` forwards ``normalize_by_num_entries`` (l1loss_layer.cu:
+    86-91) to every scale: each term becomes mean-EPE-per-pixel instead of
+    a per-image pixel sum. Needed when the supervised scales span very
+    different resolutions (the fusion net's stride-1/2/4 heads: an
+    unnormalized full-res sum is ~16× the stride-4 term and ~1e4× the
+    coarse-grid sums of the other stages, distorting any shared schedule).
     """
     from flownet2_tpu.ops.downsample import downsample_nan_aware
 
@@ -182,7 +190,10 @@ def multiscale_l1_loss(
         gt = gt_flow
         if downsample_gt and gt_flow.shape[1:3] != flow.shape[1:3]:
             gt = downsample_nan_aware(gt_flow, flow.shape[1], flow.shape[2])
-        loss = l1_loss(flow, gt, l2_per_location=l2_per_location)
+        loss = l1_loss(
+            flow, gt, l2_per_location=l2_per_location,
+            normalize_by_num_entries=normalize,
+        )
         per_scale[name] = loss
         total = total + w * loss
     return total, per_scale

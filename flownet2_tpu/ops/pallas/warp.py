@@ -54,6 +54,13 @@ from jax.experimental.pallas import tpu as pltpu
 # (127 px) under 128-aligned bases — see the module docstring.
 RT = 16
 VW = 80
+# Guaranteed per-tile vertical flow budget under 8-row-aligned window bases
+# (module docstring: |Δy| <= VW - RT - 9). The halo-exchange sharded warp
+# (ops/warp.flow_warp_halo) derives its default halo from this same
+# constant: halo = VERTICAL_BUDGET + 1 rows covers the bilinear footprint
+# of any in-budget sample, so the sharded clamp contract matches the
+# single-chip Pallas/windowed kernels row for row.
+VERTICAL_BUDGET = VW - RT - 9  # = 55 px
 
 
 def _geometry(w: int):

@@ -54,20 +54,39 @@ def flow_warp(
                    window edge — see flow_warp_windowed);
       "pallas"   — the same windowed algorithm as ONE fused Pallas program
                    (ops/pallas/warp.py; default fast path — kills the XLA
-                   version's 80-step scan dispatch overhead). Gradients
-                   come from the hand-derived windowed VJP (3× faster than
-                   autodiff through the scan), so training works
-                   identically;
-      "halo"     — spatially-sharded exact warp with bounded halo exchange
+                   version's 80-step scan dispatch overhead). On TPU the
+                   gradients default to the fused Pallas backward kernel
+                   (measured 13.5 → 5.8 ms fwd+bwd at Sintel b4);
+                   FLOWNET2_TPU_WARP_BWD=xla opts back into the
+                   hand-derived windowed XLA VJP (same clamp contract);
+      "halo"     — spatially-sharded warp with bounded halo exchange
                    (flow_warp_halo; needs an activation_sharding(mesh)
-                   context). Opt-in: moves 2*halo boundary rows over ICI
-                   instead of the all-gather GSPMD inserts for "gather";
-      "auto"     — "pallas" for bf16 images on a TPU, else "gather".
-                   Override globally with FLOWNET2_TPU_WARP.
+                   context). Moves 2*halo boundary rows over ICI instead
+                   of the all-gather GSPMD inserts for "gather"; halo
+                   derives from the Pallas vertical budget (same clamp
+                   contract);
+      "auto"     — "halo" when tracing under an activation_sharding mesh
+                   with a spatial axis > 1 that divides H; else "pallas"
+                   for bf16 images on a TPU, else "gather" (CPU) /
+                   "windowed". Override globally with FLOWNET2_TPU_WARP.
     """
     if method == "auto":
         method = os.environ.get("FLOWNET2_TPU_WARP", "auto")
     if method == "auto":
+        # Spatially-sharded tracing context → the bounded halo exchange
+        # (traffic: 2*halo boundary rows over ICI instead of the image-wide
+        # all-gather GSPMD inserts for data-dependent gathers). Same
+        # vertical-clamp contract as the Pallas/windowed kernels (the halo
+        # derives from their budget), so routing is a traffic change only.
+        from flownet2_tpu.parallel.annotate import current_mesh
+
+        mesh = current_mesh()
+        if (
+            mesh is not None
+            and mesh.shape.get("spatial", 1) > 1
+            and image.shape[1] % mesh.shape["spatial"] == 0
+        ):
+            return flow_warp_halo(image, flow, fill_value, mesh=mesh)
         backend = jax.default_backend()
         if backend == "cpu":
             # exact oracle path (tests, parity runs)
@@ -171,7 +190,7 @@ def flow_warp_halo(
     fill_value: float = 0.0,
     *,
     mesh,
-    halo: int = 56,
+    halo: int | None = None,
     axis: str = "spatial",
 ) -> jnp.ndarray:
     """Spatially-sharded FlowWarp with bounded halo exchange.
@@ -197,6 +216,13 @@ def flow_warp_halo(
     """
     from jax.sharding import PartitionSpec as P
 
+    if halo is None:
+        # derive from the Pallas kernel's per-tile vertical budget so the
+        # sharded and single-chip fast paths share one clamp contract
+        # (|dy| <= 55 ⇒ footprint reaches floor(y+55)+1 = 56 rows out)
+        from flownet2_tpu.ops.pallas.warp import VERTICAL_BUDGET
+
+        halo = VERTICAL_BUDGET + 1
     s = mesh.shape.get(axis, 1)
     if s <= 1:
         return flow_warp_gather(image, flow, fill_value)
@@ -434,9 +460,12 @@ def flow_warp_windowed(
 
 
 # -- Pallas fast path -------------------------------------------------------
-# Forward: the fused kernel (ops/pallas/warp.py). Backward: the hand-derived
-# windowed gradients (same windowed approximation family), so training
-# through method="pallas" needs no hand-written backward kernel.
+# Forward: the fused kernel (ops/pallas/warp.py). Backward: on TPU the
+# DEFAULT is the fused Pallas backward kernel (flow_warp_pallas_bwd — the
+# exact VJP of the forward's window geometry, 2.3× the XLA windowed
+# gradients on v5e); FLOWNET2_TPU_WARP_BWD=xla (and any non-TPU backend)
+# falls back to the hand-derived windowed XLA VJP, the same windowed
+# approximation family.
 
 
 @jax.custom_vjp

@@ -50,6 +50,17 @@ def main(argv=None) -> int:
         "--dtype", default="float32", choices=["float32", "bfloat16"],
         help="compute dtype (bfloat16 = mixed precision, f32 master params)",
     )
+    p.add_argument(
+        "--init-from", default=None, metavar="NPZ",
+        help="start from a saved flownet2_staged.npz instead of random init "
+        "(stage-by-stage experiments without retraining the upstream)",
+    )
+    p.add_argument(
+        "--reinit", default="", metavar="STAGES",
+        help="comma list of stages whose subtree is re-randomized after "
+        "--init-from (e.g. --reinit fusion to train fusion from scratch on "
+        "a trained upstream)",
+    )
     args = p.parse_args(argv)
 
     import jax
@@ -77,6 +88,23 @@ def main(argv=None) -> int:
     }
 
     params = flownet2_init(jax.random.PRNGKey(0))
+    if args.init_from:
+        loaded = dict(np.load(args.init_from))
+
+        def unflatten(tmpl, prefix=""):
+            return {
+                k: unflatten(v, f"{prefix}{k}/")
+                if isinstance(v, dict)
+                else jnp.asarray(loaded[prefix + k])
+                for k, v in tmpl.items()
+            }
+
+        fresh = params
+        params = unflatten(params)
+        for stage in [s for s in args.reinit.split(",") if s]:
+            sub = STAGE_SUBTREE[stage]
+            params[sub] = fresh[sub]
+            print(f"re-randomized subtree {sub}", flush=True)
 
     # batch MUST be an argument, not a closure: baking the images into the
     # jitted program as constants produces WRONG numerics through the axon
@@ -107,7 +135,13 @@ def main(argv=None) -> int:
         trainable, frozen = split_stage_params(params, stage)
         stage_batch = dict(batch, frozen=frozen)
         lr = optax.cosine_decay_schedule(args.lr, args.iters)
-        tx = optax.adam(lr)
+        # eps=1e-12: per-pixel-normalized objectives (the fusion stage
+        # trains at mean-EPE scale) shrink gradient magnitudes ~1e5× vs the
+        # pixel-sum convention; a small eps keeps Adam's scale invariance
+        # intact for any such loss (measured neutral on the current stages —
+        # fusion EPE identical at 1e-8 vs 1e-12 — this is safety margin,
+        # not a tuned knob).
+        tx = optax.adam(lr, eps=1e-12)
         opt_state = tx.init(trainable)
 
         def step(tparams, opt_state, batch):

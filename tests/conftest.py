@@ -10,17 +10,25 @@ Must run before jax is imported anywhere.
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"  # override the session's axon/TPU platform
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+# FLOWNET2_TPU_TESTS=1 keeps the session's real accelerator so the
+# @pytest.mark.tpu-gated tests (compiled Pallas kernels vs exact VJPs at
+# MXU precision) can run on hardware:
+#   FLOWNET2_TPU_TESTS=1 python -m pytest tests/ -m tpu
+# Default: virtual 8-device CPU mesh, TPU-gated tests skip.
+_REAL_TPU = os.environ.get("FLOWNET2_TPU_TESTS") == "1"
+if not _REAL_TPU:
+    os.environ["JAX_PLATFORMS"] = "cpu"  # override the session's axon/TPU platform
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
 
 import jax  # noqa: E402
 
-# sitecustomize may have pre-registered a TPU backend; force CPU regardless.
-jax.config.update("jax_platforms", "cpu")
+if not _REAL_TPU:
+    # sitecustomize may have pre-registered a TPU backend; force CPU regardless.
+    jax.config.update("jax_platforms", "cpu")
 
 from flownet2_tpu.core.hostmem import tune_host_allocator  # noqa: E402
 
@@ -30,6 +38,22 @@ tune_host_allocator()
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "tpu: needs a real TPU (run with FLOWNET2_TPU_TESTS=1); skipped on CPU",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    if jax.default_backend() in ("tpu", "axon"):
+        return
+    skip = pytest.mark.skip(reason="real-TPU test (set FLOWNET2_TPU_TESTS=1)")
+    for item in items:
+        if "tpu" in item.keywords:
+            item.add_marker(skip)
 
 
 @pytest.fixture
