@@ -28,8 +28,12 @@ TPU-native design: per displacement, the cost slice is an elementwise
 multiply + channel reduction of two shifted views — VPU work that XLA fuses;
 the kernel window is a separable k×k box-sum; stride1 is a strided slice.
 A `lax.scan` over the gw² displacements keeps compile time and HBM footprint
-flat (only one (N, H', W') slice is live per step). The fused Pallas version
-lives in ``flownet2_tpu.ops.pallas.correlation``.
+flat (only one (N, H', W') slice is live per step). A hand-written Mosaic
+kernel (VPU mul-reduce + per-displacement rolls) was built, validated
+bit-exact, and REMOVED in round 4: 15× slower than the MXU banded-matmul
+path at the FlowNetC production shape (69.8 vs 4.6 ms, 80×112×256 b8 bf16
+v5e) with no feasible tiling at Sintel feature widths — see
+docs/DESIGN_NOTES.md "Pallas correlation post-mortem".
 """
 
 from __future__ import annotations
@@ -396,18 +400,13 @@ def _make_fast_correlation(max_displacement: int, stride2: int, impl: str):
       "mxu"    — banded-matmul MXU formulation fwd+bwd (default; fastest
                  measured on v5e, also correct on CPU);
       "scan"   — displacement-scan fwd + hand-derived scan bwd (round-1 path,
-                 kept as oracle/fallback);
-      "pallas" — Mosaic kernel fwd + scan bwd (opt-in).
+                 kept as oracle/fallback).
     """
     md = max_displacement
 
     def fwd_impl(f1, f2):
         if impl == "mxu":
             return _corr_selmm_fwd(f1, f2, md=md, stride2=stride2)
-        if impl == "pallas":
-            from flownet2_tpu.ops.pallas.correlation import correlation_pallas
-
-            return correlation_pallas(f1, f2, max_displacement=md, stride2=stride2)
         return correlation(
             f1, f2, max_displacement=md, kernel_size=1, stride1=1,
             stride2=stride2, pad=md,
@@ -444,9 +443,10 @@ def correlation_auto(
     multiply: bool = True,
     do_abs: bool = False,
 ) -> jnp.ndarray:
-    """Dispatch to the custom-VJP FlowNet-config path (hand-derived backward;
-    forward via Pallas if opted in, else the XLA scan), falling back to the
-    general reference path for other configs."""
+    """Dispatch to the custom-VJP FlowNet-config path (MXU banded-matmul
+    forward + hand-derived backward; FLOWNET2_TPU_CORR_IMPL=scan selects the
+    oracle scan path), falling back to the general reference path for other
+    configs."""
     import os
 
     flownet_config = (
@@ -454,10 +454,6 @@ def correlation_auto(
     )
     if flownet_config:
         impl = os.environ.get("FLOWNET2_TPU_CORR_IMPL", "mxu")
-        if os.environ.get("FLOWNET2_TPU_PALLAS_CORR", "0") == "1":  # legacy knob
-            impl = "pallas"
-        if impl == "pallas" and jax.default_backend() == "cpu":
-            impl = "mxu"
         return _make_fast_correlation(max_displacement, stride2, impl)(f1, f2)
     return correlation(
         f1,

@@ -5,6 +5,6 @@ Each kernel has a pure-JAX reference implementation in ``flownet2_tpu.ops``
 against those references and selected automatically on TPU.
 """
 
-from flownet2_tpu.ops.pallas.correlation import correlation_pallas
+from flownet2_tpu.ops.pallas.warp import flow_warp_pallas
 
-__all__ = ["correlation_pallas"]
+__all__ = ["flow_warp_pallas"]
