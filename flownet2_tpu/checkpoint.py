@@ -44,3 +44,27 @@ def save_params(path: str, params: dict) -> None:
 def load_params(path: str) -> dict:
     with np.load(path) as z:
         return unflatten_params({k: z[k] for k in z.files})
+
+
+def snapshot_params(snapshot_dir: str) -> dict:
+    """Extract the param pytree from an orbax ``Solver.snapshot`` directory.
+
+    The solver's snapshots hold the full TrainState (params + opt_state +
+    iteration, the reference's ``.solverstate``, solver.cpp:412-483); this
+    pulls out just the weights — the ``.caffemodel`` half — so snapshots
+    feed ``cli/test.py --weights`` / ``run_flownet`` without a Solver.
+    """
+    import os
+
+    import jax
+    import orbax.checkpoint as ocp
+
+    with ocp.PyTreeCheckpointer() as ckptr:
+        state = ckptr.restore(os.path.abspath(snapshot_dir))
+    return jax.tree.map(jnp.asarray, state["params"])
+
+
+def export_snapshot_npz(snapshot_dir: str, npz_path: str) -> None:
+    """Snapshot dir → flat ``.npz`` weights (`caffe train` snapshot → deployable
+    weights, the ``-weights`` handoff in tools/caffe.cpp:125-135)."""
+    save_params(npz_path, snapshot_params(snapshot_dir))

@@ -30,6 +30,11 @@ def main(argv=None) -> int:
     p.add_argument("--dataset", default="flyingchairs")
     p.add_argument("--data-root", required=True)
     p.add_argument("--schedule", default="S_long", help="S_long|S_short|S_fine")
+    p.add_argument(
+        "--base-lr", type=float, default=None,
+        help="override the schedule's base learning rate (the solver "
+        "prototxt's base_lr field, caffe.proto:159)",
+    )
     p.add_argument("--solver", default="adam", help="sgd|nesterov|adagrad|rmsprop|adadelta|adam")
     p.add_argument("--batch", type=int, default=8, help="PER-DEVICE batch size")
     p.add_argument(
@@ -97,6 +102,8 @@ def main(argv=None) -> int:
     sched = dict(FLOWNET_SCHEDULES[args.schedule])
     max_iter = args.max_iter or sched.pop("max_iter")
     sched.pop("max_iter", None)
+    if args.base_lr is not None:
+        sched["base_lr"] = args.base_lr
     config = SolverConfig(
         solver_type=args.solver,
         lr_policy=sched["policy"],

@@ -31,6 +31,7 @@ import os
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 
@@ -457,6 +458,58 @@ def flow_warp_windowed(
     out = out[:, :h, :w]
     out = jnp.where(valid[..., None], out, jnp.float32(fill_value))
     return out.astype(orig_dtype)
+
+
+def warp_clamp_fraction(flow, *, geometry: str = "pallas") -> np.ndarray:
+    """Fraction of pixels a fast-path warp would clamp, per batch item.
+
+    The windowed/Pallas warps are exact only while each output tile's
+    bilinear footprints fit the tile's source window (budgets ~127 px
+    horizontal / ~55 px vertical of INTRA-TILE flow variation — constant
+    offsets cost nothing because the window base follows the tile minimum).
+    This mirrors the exact base selection of both geometries
+    (``"pallas"``: 16×128 tiles, bases aligned down to (8, 128), SW=384/
+    VW=80; ``"windowed"``: 8×256 tiles, unaligned bases, SW=384/VW=64) and
+    counts footprints that fall outside — the pixels whose samples clamp to
+    the window edge instead of the true source (documented divergence; the
+    measured image-space error tables live in docs/DESIGN_NOTES.md).
+
+    Use it on predicted/GT flows to decide whether a content class needs
+    ``method="gather"`` (exact everywhere) instead of the fast paths.
+    Host-side numpy diagnostic; not differentiable, not jittable.
+    """
+    if geometry == "pallas":
+        rt, ck, sw, vw, xal, yal = 16, 128, 384, 80, 128, 8
+    elif geometry == "windowed":
+        rt, ck, sw, vw, xal, yal = 8, 256, 384, 64, 1, 1
+    else:
+        raise ValueError(f"geometry must be 'pallas' or 'windowed', got {geometry!r}")
+    flow = np.asarray(flow, np.float32)
+    n, h, w, _ = flow.shape
+    xs, ys = np.meshgrid(
+        np.arange(w, dtype=np.float32), np.arange(h, dtype=np.float32)
+    )
+    x2 = np.clip(xs[None] + flow[..., 0], 0, w - 1)
+    y2 = np.clip(ys[None] + flow[..., 1], 0, h - 1)
+    xb = np.minimum(np.floor(x2).astype(np.int32), w - 2)
+    yb = np.minimum(np.floor(y2).astype(np.int32), h - 2)
+    hp, wp = -(-h // rt) * rt, -(-w // ck) * ck
+    big = max(h, w) * 2  # pad partial tiles the way the kernels do
+    pad = ((0, 0), (0, hp - h), (0, wp - w))
+    xbp = np.pad(xb, pad, constant_values=big).reshape(n, hp // rt, rt, wp // ck, ck)
+    ybp = np.pad(yb, pad, constant_values=big).reshape(n, hp // rt, rt, wp // ck, ck)
+    him = max(-(-max(h, vw) // yal) * yal, vw)
+    wim = max(-(-w // xal) * xal, sw)
+    x0 = np.clip(xbp.min(axis=(2, 4)) // xal * xal, 0, wim - sw)
+    y0 = np.clip(ybp.min(axis=(2, 4)) // yal * yal, 0, him - vw)
+    # footprint tap xb+1 must land within [x0, x0+sw-1] (same vertically)
+    viol = (xbp - x0[:, :, None, :, None] > sw - 2) | (
+        ybp - y0[:, :, None, :, None] > vw - 2
+    )
+    real = np.zeros((n, hp, wp), bool)
+    real[:, :h, :w] = True
+    viol = viol.reshape(n, hp, wp) & real
+    return viol.reshape(n, -1).sum(axis=1) / float(h * w)
 
 
 # -- Pallas fast path -------------------------------------------------------

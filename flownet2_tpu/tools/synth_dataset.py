@@ -54,9 +54,14 @@ def _texture(rng: np.random.Generator, h: int, w: int) -> np.ndarray:
 def _affine_flow(
     rng: np.random.Generator, h: int, w: int, max_shift: float
 ) -> np.ndarray:
-    """Dense flow of a random affine motion about a random center."""
-    angle = rng.uniform(-0.15, 0.15)
-    scale = np.exp(rng.uniform(-0.12, 0.12))
+    """Dense flow of a random affine motion about a random center.
+
+    Rotation/zoom ranges scale with ``max_shift`` (18 = the FlyingChairs-ish
+    default) so small-shift splits are uniformly easy, not just centered.
+    """
+    gain = min(max_shift / 18.0, 1.0)
+    angle = rng.uniform(-0.15, 0.15) * gain
+    scale = np.exp(rng.uniform(-0.12, 0.12) * gain)
     tx, ty = rng.uniform(-max_shift, max_shift, 2)
     cx, cy = rng.uniform(0.3, 0.7) * w, rng.uniform(0.3, 0.7) * h
     ca, sa = np.cos(angle) * scale, np.sin(angle) * scale
@@ -117,13 +122,25 @@ def make_sample(
     )
 
 
-def write_split(path: str, n: int, seed: int, h: int, w: int, log=print) -> None:
+def write_split(
+    path: str,
+    n: int,
+    seed: int,
+    h: int,
+    w: int,
+    log=print,
+    *,
+    max_shift: float = 18.0,
+    n_layers: int = 3,
+) -> None:
     from flownet2_tpu.data.records import FlowRecordWriter
 
     rng = np.random.default_rng(seed)
     with FlowRecordWriter(path) as wtr:
         for i in range(n):
-            img0, img1, flow = make_sample(rng, h, w)
+            img0, img1, flow = make_sample(
+                rng, h, w, n_layers=n_layers, max_shift=max_shift
+            )
             wtr.write(img0, img1, flow)
             if (i + 1) % 256 == 0:
                 log(f"{path}: {i + 1}/{n}")

@@ -45,9 +45,19 @@ def pytest_configure(config):
         "markers",
         "tpu: needs a real TPU (run with FLOWNET2_TPU_TESTS=1); skipped on CPU",
     )
+    config.addinivalue_line(
+        "markers",
+        "slow: multi-minute end-to-end run (set FLOWNET2_TPU_SLOW=1); "
+        "skipped by default",
+    )
 
 
 def pytest_collection_modifyitems(config, items):
+    if os.environ.get("FLOWNET2_TPU_SLOW") != "1":
+        skip_slow = pytest.mark.skip(reason="slow test (set FLOWNET2_TPU_SLOW=1)")
+        for item in items:
+            if "slow" in item.keywords:
+                item.add_marker(skip_slow)
     if jax.default_backend() in ("tpu", "axon"):
         return
     skip = pytest.mark.skip(reason="real-TPU test (set FLOWNET2_TPU_TESTS=1)")

