@@ -208,8 +208,9 @@ _FACTORIES = {
 
 
 def open_dataset(name: str, root: str, **kw):
-    """Open a named dataset layout, or — when ``name`` is "flowrec"/"lmdb"
-    or ``name`` is "auto" and ``root`` looks like one — the packed formats.
+    """Open a named dataset layout, or — when ``name`` is "flowrec"/"lmdb"/
+    "leveldb" or ``name`` is "auto" and ``root`` looks like one — the
+    packed formats.
 
     An explicitly named dataset (e.g. "flyingchairs") is honored even when
     ``root`` happens to contain a data.mdb; format sniffing only applies to
@@ -227,10 +228,16 @@ def open_dataset(name: str, root: str, **kw):
         from flownet2_tpu.data.lmdb import LmdbFlowDataset
 
         return LmdbFlowDataset(root, **kw)
+    if key == "leveldb" or (
+        auto and os.path.exists(os.path.join(root, "CURRENT"))
+    ):
+        from flownet2_tpu.data.leveldb import LevelDBFlowDataset
+
+        return LevelDBFlowDataset(root, **kw)
     if auto:
         raise ValueError(
             f"cannot sniff dataset format at {root!r}; pass an explicit name "
-            f"(known: {sorted(_FACTORIES)}, 'flowrec', 'lmdb')"
+            f"(known: {sorted(_FACTORIES)}, 'flowrec', 'lmdb', 'leveldb')"
         )
     try:
         return _FACTORIES[key](root, **kw)

@@ -303,6 +303,8 @@ class LmdbFlowDataset:
     the flip otherwise handled by the caffemodel importer's conv1 swap).
     """
 
+    _open = staticmethod(LmdbReader)
+
     def __init__(
         self,
         path: str,
@@ -311,7 +313,9 @@ class LmdbFlowDataset:
         encodings: tuple[str, ...] = FLOW_ENCODINGS,
         bgr_to_rgb: bool = True,
     ):
-        self.db = LmdbReader(path)
+        # _open is the backend hook: data.leveldb.LevelDBFlowDataset swaps
+        # in LevelDBReader and inherits the whole decode/permutation path.
+        self.db = self._open(path)
         self.slice_points = tuple(slice_points)
         self.encodings = tuple(encodings)
         self.bgr_to_rgb = bgr_to_rgb
