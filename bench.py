@@ -243,14 +243,19 @@ def bench_train_streaming(crop_h, crop_w, batch, iters, *, n_samples=24):
     return batch * iters / dt
 
 
-def bench_train_device_cache(crop_h, crop_w, batch, iters, *, n_samples=96):
+def bench_train_device_cache(
+    crop_h, crop_w, batch, iters, *, n_samples=96, steps_per_dispatch=32
+):
     """End-to-end training through the production pipeline with the device
-    sample cache (data/device_cache.py): transport-encoded samples live in
-    an HBM slab ring, every step gathers + augments its batch ON DEVICE
-    (fresh random crops/affines per draw), and a background thread refreshes
-    slabs from the .flowrec stream at link rate. Per-step H2D = indices +
-    coefficients (~KB). This is `cli/train.py --device-cache` exactly —
-    the loop the 115× r3 gap (VERDICT next.1) demanded."""
+    sample cache + multi-step dispatch (`cli/train.py --device-cache`
+    exactly): transport-encoded samples live in an HBM slab ring, each
+    dispatch runs `steps_per_dispatch` iterations as ONE lax.scan program
+    (train/solver.make_multistep_train_step) whose per-step batches gather
+    + augment ON DEVICE (fresh random crops/affines per draw); the host
+    uploads one ~KB index/coefficient bank per dispatch and a background
+    thread refreshes slabs at link rate. This is the loop the 115× r3 gap
+    (VERDICT next.1) demanded — single-step CacheBatches paid ~10 small
+    uploads × 53 ms tunnel RTT per step (measured 6.4 pairs/s)."""
     import optax
 
     from flownet2_tpu.data.augment_pipeline import (
@@ -259,7 +264,7 @@ def bench_train_device_cache(crop_h, crop_w, batch, iters, *, n_samples=96):
         sample_aug_arrays,
     )
     from flownet2_tpu.data.device_cache import (
-        CacheBatches,
+        CacheChunks,
         DeviceSampleCache,
         cycle_dataset,
         make_cache_gather_loss,
@@ -267,23 +272,21 @@ def bench_train_device_cache(crop_h, crop_w, batch, iters, *, n_samples=96):
     from flownet2_tpu.data.records import FlowRecordReader
     from flownet2_tpu.models.flownet_c import flownet_c_init
     from flownet2_tpu.train.objectives import flownet_c_loss, with_compute_dtype
+    from flownet2_tpu.train.solver import TrainState, make_multistep_train_step
 
     path = _write_synth_flowrec(n_samples)
     src_h, src_w = 384, 512
     params = flownet_c_init(jax.random.PRNGKey(0))
     tx = optax.sgd(1e-4, momentum=0.9)
-    opt_state = tx.init(params)
     loss_fn = make_cache_gather_loss(
         make_augmented_loss(
             with_compute_dtype(flownet_c_loss, jnp.bfloat16), crop_h, crop_w
         )
     )
-
-    @jax.jit
-    def step(params, opt_state, batch_d):
-        (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(params, batch_d)
-        updates, opt_state = tx.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), opt_state, loss
+    run = make_multistep_train_step(loss_fn, tx)
+    state = TrainState(
+        params=params, opt_state=tx.init(params), iteration=jnp.zeros([], jnp.int32)
+    )
 
     ds = FlowRecordReader(path, transport=True)
     cache = DeviceSampleCache(cycle_dataset(ds, seed=0), slab_samples=24, n_slabs=2)
@@ -293,17 +296,22 @@ def bench_train_device_cache(crop_h, crop_w, batch, iters, *, n_samples=96):
             FlowNetAugConfig(), rng, n, src_h, src_w, crop_h, crop_w
         )
 
-    it = iter(CacheBatches(cache, batch, seed=0, aug_sampler=aug_sampler))
-    params, opt_state, loss = step(params, opt_state, next(it))
-    float(loss)
+    it = iter(
+        CacheChunks(cache, batch, steps_per_dispatch, seed=0, aug_sampler=aug_sampler)
+    )
+    slabs, bank = next(it)
+    state, losses = run(state, slabs, bank)  # compile + warm
+    float(losses[-1])
+    n_chunks = max(1, iters // steps_per_dispatch)
     t0 = time.perf_counter()
-    for _ in range(iters):
-        params, opt_state, loss = step(params, opt_state, next(it))
-    float(loss)  # forces the dispatched chain
+    for _ in range(n_chunks):
+        slabs, bank = next(it)
+        state, losses = run(state, slabs, bank)
+    float(losses[-1])  # forces the dispatched chain (state threads through)
     dt = time.perf_counter() - t0
     cache.stop()
     os.unlink(path)
-    return batch * iters / dt
+    return batch * n_chunks * steps_per_dispatch / dt
 
 
 def main():

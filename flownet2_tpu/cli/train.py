@@ -78,6 +78,14 @@ def main(argv=None) -> int:
         "rounds up to a multiple of this)",
     )
     p.add_argument(
+        "--steps-per-dispatch", type=int, default=0, metavar="K",
+        help="with --device-cache: run K iterations per jitted dispatch "
+        "(one lax.scan program over a pre-uploaded index/coefficient bank; "
+        "train/solver.make_multistep_train_step) so a high-latency host "
+        "link is touched once per K steps. 0 = auto (32 with "
+        "--device-cache, else 1). Display/snapshot quantize to K.",
+    )
+    p.add_argument(
         "--write-augmented", default=None, metavar="DIR",
         help="debug: dump augmented batches + coefficient log to DIR every "
         "display interval (AugmentationParameter.write_augmented)",
@@ -198,13 +206,19 @@ def main(argv=None) -> int:
             return batch
 
     cache = None
+    steps_per_dispatch = args.steps_per_dispatch or (32 if args.device_cache else 1)
     if args.device_cache > 0:
         if mesh is not None:
             raise SystemExit("--device-cache is single-device (see device_cache.py)")
         if args.write_augmented:
             raise SystemExit("--device-cache does not support --write-augmented")
+        if steps_per_dispatch > 1 and args.recompute_mean:
+            raise SystemExit(
+                "--recompute-mean needs per-step aux; use --steps-per-dispatch 1"
+            )
         from flownet2_tpu.data.device_cache import (
             CacheBatches,
+            CacheChunks,
             DeviceSampleCache,
             cycle_dataset,
         )
@@ -238,9 +252,15 @@ def main(argv=None) -> int:
             def aug_sampler(rng, n, _cfg=FlowNetAugConfig()):  # noqa: E306
                 return sample_aug_arrays(_cfg, rng, n, src_h, src_w, crop_h, crop_w)
 
-        loader = CacheBatches(
-            cache, total_batch, seed=args.seed, aug_sampler=aug_sampler
-        )
+        if steps_per_dispatch > 1:
+            loader = CacheChunks(
+                cache, total_batch, steps_per_dispatch,
+                seed=args.seed, aug_sampler=aug_sampler,
+            )
+        else:
+            loader = CacheBatches(
+                cache, total_batch, seed=args.seed, aug_sampler=aug_sampler
+            )
     else:
         loader = BatchLoader(
             dataset,
@@ -270,9 +290,12 @@ def main(argv=None) -> int:
                 m.write_mean(os.path.join(args.write_augmented, f"mean{i}.float3"))
 
     try:
-        solver.solve(
-            iter(loader), max_iter=max_iter, on_step=on_step, batch_hook=batch_hook
-        )
+        if cache is not None and steps_per_dispatch > 1:
+            solver.solve_cached(iter(loader), max_iter=max_iter)
+        else:
+            solver.solve(
+                iter(loader), max_iter=max_iter, on_step=on_step, batch_hook=batch_hook
+            )
     finally:
         if cache is not None:
             cache.stop()

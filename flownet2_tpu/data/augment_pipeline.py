@@ -89,16 +89,30 @@ def sample_aug_arrays(
     (coefficients depend only on geometry). Returns the ``aug_*`` dict that
     :func:`apply_augmentation_device` consumes."""
     from flownet2_tpu.ops.augment import (
+        PALLAS_WARP_BUDGET,
+        _fast_warp_backend,
         _sample_spec_n,
         sample_valid_spatial_coeffs_batch,
     )
 
+    # When the device side will take the MXU warp fast path (TPU), reject
+    # the rare rotation×zoom-out tail its window budget can't sample
+    # exactly (apply_spatial_transform method="warp" docstring). Mirrored
+    # specs always use the exact path — no truncation.
+    budget = (
+        PALLAS_WARP_BUDGET
+        if _fast_warp_backend()
+        and config.spatial.mirror is None
+        and config.spatial_offset.mirror is None
+        else None
+    )
     geo = dict(crop_w=crop_w, crop_h=crop_h, src_w=src_w, src_h=src_h)
     c0 = sample_valid_spatial_coeffs_batch(
-        config.spatial, rng, n_items=n, discount=discount, **geo
+        config.spatial, rng, n_items=n, discount=discount, warp_budget=budget, **geo
     )
     c1 = sample_valid_spatial_coeffs_batch(
-        config.spatial_offset, rng, n_items=n, discount=discount, base=c0, **geo
+        config.spatial_offset, rng, n_items=n, discount=discount, base=c0,
+        warp_budget=budget, **geo
     )
     m0 = np.zeros((n, 6), np.float32)
     m1 = np.zeros((n, 6), np.float32)
@@ -177,6 +191,7 @@ def apply_augmentation_device(
     *,
     mean_window: int = 0,
     mean_per_pixel: bool = False,
+    spatial_method: str = "auto",
 ) -> dict:
     """Device-side application (inside the jitted train step).
 
@@ -195,10 +210,12 @@ def apply_augmentation_device(
     Subtraction happens in the [0,1] augmented domain, like the reference.
     """
     img0 = apply_spatial_transform(
-        batch["img0"].astype(jnp.float32) / 255.0, batch["aug_mat0"], crop_h, crop_w
+        batch["img0"].astype(jnp.float32) / 255.0, batch["aug_mat0"], crop_h, crop_w,
+        method=spatial_method,
     )
     img1 = apply_spatial_transform(
-        batch["img1"].astype(jnp.float32) / 255.0, batch["aug_mat1"], crop_h, crop_w
+        batch["img1"].astype(jnp.float32) / 255.0, batch["aug_mat1"], crop_h, crop_w,
+        method=spatial_method,
     )
     from flownet2_tpu.core.codec import flow_as_f32_device
 
@@ -208,6 +225,7 @@ def apply_augmentation_device(
         batch["aug_inv_mat1"],
         crop_h,
         crop_w,
+        method=spatial_method,
     )
     # chromatic applies to both frames with the same coefficients
     k0, k1 = jax.random.split(key)

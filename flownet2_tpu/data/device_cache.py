@@ -123,6 +123,12 @@ class DeviceSampleCache:
         with self._lock:
             return self._slabs[int(rng.integers(self.n_slabs))]
 
+    def current_slabs(self) -> tuple:
+        """A consistent snapshot of ALL current slabs (for multi-step
+        dispatch: indices address the concatenation in slab order)."""
+        with self._lock:
+            return tuple(self._slabs)
+
     def stats(self) -> dict:
         return {
             "slabs_swapped": self.slabs_swapped,
@@ -196,6 +202,56 @@ class CacheBatches:
             if self.aug_sampler is not None:
                 batch.update(self.aug_sampler(self._rng, self.batch_size))
             yield batch
+
+
+class CacheChunks:
+    """K-step bank iterator over a :class:`DeviceSampleCache` for
+    ``Solver.solve_cached`` / ``train.solver.make_multistep_train_step``.
+
+    Yields ``(slabs, bank)``: ``slabs`` is the cache's current slab tuple
+    (device arrays), ``bank`` a host dict of per-step arrays with leading
+    axis K — ``cache_idx`` (K, batch) indices into the slab concatenation
+    plus the ``aug_*`` coefficient arrays reshaped to (K, batch, ...). One
+    chunk is one dispatch and ONE host→device transfer of ~K KBs, versus
+    ~10 transfers per step for :class:`CacheBatches` — the difference
+    between link-latency-bound and compute-bound training on a remote
+    accelerator (measured: 6.4 → hundreds of pairs/s through a 53 ms-RTT
+    tunnel; docs/DESIGN_NOTES.md latency budget).
+    """
+
+    def __init__(
+        self,
+        cache: DeviceSampleCache,
+        batch_size: int,
+        steps_per_dispatch: int,
+        *,
+        seed: int = 0,
+        aug_sampler: Optional[Callable[[np.random.Generator, int], dict]] = None,
+    ):
+        if steps_per_dispatch < 1:
+            raise ValueError("steps_per_dispatch must be >= 1")
+        self.cache = cache
+        self.batch_size = batch_size
+        self.steps_per_dispatch = steps_per_dispatch
+        self.aug_sampler = aug_sampler
+        self._rng = np.random.default_rng(seed)
+
+    def __iter__(self):
+        k, n = self.steps_per_dispatch, self.batch_size
+        while True:
+            slabs = self.cache.current_slabs()
+            total = len(slabs) * self.cache.slab_samples
+            idx = self._rng.integers(0, total, size=(k, n)).astype(np.int32)
+            bank = {"cache_idx": idx}
+            if self.aug_sampler is not None:
+                arrs = self.aug_sampler(self._rng, k * n)
+                bank.update(
+                    {
+                        name: v.reshape((k, n) + v.shape[1:])
+                        for name, v in arrs.items()
+                    }
+                )
+            yield slabs, bank
 
 
 def make_cache_gather_loss(inner_loss: Callable) -> Callable:

@@ -333,15 +333,52 @@ class EffectAugSpec:
 # ---------------------------------------------------------------------------
 
 
+# Conservative intra-tile flow-variation budget of the Pallas warp fast path
+# (ops/pallas/warp.py: 16x128 output tiles with SW=384/VW=80 source windows;
+# see ops/warp.warp_clamp_fraction for the exact geometry). An affine whose
+# derivatives satisfy |du| <= budget across one tile warps EXACTLY on the
+# fast path; the sampler rejects the (rare) rotation x zoom-out tail that
+# exceeds it when the fast path is active.
+PALLAS_WARP_BUDGET = (120.0, 48.0)
+
+
+def _fast_warp_backend() -> bool:
+    return jax.default_backend() in ("tpu", "axon")
+
+
 def apply_spatial_transform(
-    images: jnp.ndarray, matrices: jnp.ndarray, out_h: int, out_w: int
+    images: jnp.ndarray,
+    matrices: jnp.ndarray,
+    out_h: int,
+    out_w: int,
+    *,
+    method: str = "auto",
 ) -> jnp.ndarray:
     """Inverse-warp bilinear crop (SpatialAugmentation kernel,
     data_augmentation_layer.cu:25-70).
 
     images: (N, H, W, C); matrices: (N, 6) crop→source affine;
     returns (N, out_h, out_w, C). Source samples clamp to borders.
+
+    ``method``:
+      "exact" — the 4-tap gather formulation (the parity oracle; the
+                default off-accelerator);
+      "warp"  — the affine sample expressed as a flow field over the full
+                source canvas and routed through the MXU warp fast path
+                (ops/warp.flow_warp): TPUs have no gather unit, so the
+                gather formulation runs ~20× slower than the same sample
+                as one-hot MXU contractions (measured 32 → ~2 ms per
+                8×384×512→320×448 batch, v5e). Positions stay f32-exact;
+                pixel VALUES compute in bf16 on accelerators (quantization
+                ~0.4% — the uint8 source granularity). Affines must respect
+                PALLAS_WARP_BUDGET (the sampler enforces it when active;
+                mirror-enabled specs must use "exact");
+      "auto"  — "warp" on TPU, "exact" elsewhere.
     """
+    if method == "auto":
+        method = "warp" if _fast_warp_backend() else "exact"
+    if method == "warp":
+        return _apply_spatial_transform_warp(images, matrices, out_h, out_w)
     n, h, w, c = images.shape
     xs = jax.lax.broadcasted_iota(jnp.float32, (out_h, out_w), 1)
     ys = jax.lax.broadcasted_iota(jnp.float32, (out_h, out_w), 0)
@@ -372,6 +409,43 @@ def apply_spatial_transform(
         + (1 - ax) * ay * bl
         + ax * ay * br
     )
+
+
+def _affine_positions(matrices: jnp.ndarray, h: int, w: int):
+    """Clipped source-position fields of a crop→source affine over the FULL
+    (h, w) canvas (the smooth extension keeps the warp fast path's per-tile
+    windows tight; the clip reproduces the reference's border clamp,
+    data_augmentation_layer.cu:46-47, and matches the exact path's
+    w-1.05/h-1.05 tap convention bit for bit)."""
+    xs = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    ys = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    t = matrices.astype(jnp.float32)
+    xpos = t[:, None, None, 0] * xs + t[:, None, None, 2] * ys + t[:, None, None, 4]
+    ypos = t[:, None, None, 1] * xs + t[:, None, None, 3] * ys + t[:, None, None, 5]
+    xpos = jnp.clip(xpos, 0.0, w - 1.05)
+    ypos = jnp.clip(ypos, 0.0, h - 1.05)
+    return xpos - xs[None], ypos - ys[None]
+
+
+def _apply_spatial_transform_warp(
+    images: jnp.ndarray, matrices: jnp.ndarray, out_h: int, out_w: int
+) -> jnp.ndarray:
+    """The affine sample as an MXU flow-warp over the source canvas.
+
+    Geometry is f32-exact (the warp kernels build their one-hot lerp
+    weights from f32 positions); on accelerators pixel values ride bf16
+    through the fused Pallas kernel. Off-accelerator the exact gather warp
+    makes this path equal to the "exact" method (tests pin it)."""
+    from flownet2_tpu.ops.warp import flow_warp
+
+    n, h, w, c = images.shape
+    u, v = _affine_positions(matrices, h, w)
+    posflow = jnp.stack([u, v], axis=-1)  # f32: exact sample positions
+    if _fast_warp_backend():
+        out = flow_warp(images.astype(jnp.bfloat16), posflow, method="pallas")
+    else:
+        out = flow_warp(images, posflow.astype(images.dtype), method="gather")
+    return out[:, :out_h, :out_w].astype(images.dtype)
 
 
 def apply_chromatic_transform(
@@ -415,12 +489,46 @@ def apply_gaussian_noise(
     return jnp.clip(out, 0.0, max_multiplier).astype(images.dtype)
 
 
+def _nearest_sample_warp(values: jnp.ndarray, matrices: jnp.ndarray) -> jnp.ndarray:
+    """Nearest-neighbour affine sample of (N, H, W, C) values over the full
+    source canvas via the MXU warp: positions round to integers BEFORE the
+    warp, so every bilinear weight is exactly 0 or 1 and the values pass
+    through unchanged (one-hot row × value on the MXU is exact in f32) —
+    the GT-flow sampling path must not quantize (EPE parity)."""
+    from flownet2_tpu.ops.warp import flow_warp
+
+    n, h, w, c = values.shape
+    xs = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    ys = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    t = matrices.astype(jnp.float32)
+    xpos = t[:, None, None, 0] * xs + t[:, None, None, 2] * ys + t[:, None, None, 4]
+    ypos = t[:, None, None, 1] * xs + t[:, None, None, 3] * ys + t[:, None, None, 5]
+    xi = jnp.clip(jnp.round(xpos), 0.0, w - 1)
+    yi = jnp.clip(jnp.round(ypos), 0.0, h - 1)
+    posflow = jnp.stack([xi - xs[None], yi - ys[None]], axis=-1)
+    method = "pallas" if _fast_warp_backend() else "gather"
+    # NaN-encoded invalid GT pixels would smear through the one-hot MXU
+    # contraction (0 x NaN = NaN poisons the whole source window): warp a
+    # clean copy plus a per-channel NaN mask (0/1 samples exactly under
+    # one-hot weights) and re-plant the NaNs afterwards.
+    vals = values.astype(jnp.float32)
+    nan_mask = jnp.isnan(vals)
+    packed = jnp.concatenate(
+        [jnp.where(nan_mask, 0.0, vals), nan_mask.astype(jnp.float32)], axis=-1
+    )
+    out = flow_warp(packed, posflow, method=method)
+    sampled, mask = out[..., :c], out[..., c:]
+    return jnp.where(mask > 0.5, jnp.float32(jnp.nan), sampled)
+
+
 def apply_flow_augmentation(
     flows: jnp.ndarray,
     inv_mat1: jnp.ndarray,
     mat2: jnp.ndarray,
     out_h: int,
     out_w: int,
+    *,
+    method: str = "auto",
 ) -> jnp.ndarray:
     """Transform GT flow consistently with both image transforms
     (flow_augmentation_layer.cu:24-89).
@@ -433,7 +541,14 @@ def apply_flow_augmentation(
     matrices already map crop→source), then img2's source→crop (inverse)
     matrix; arguments here follow that convention: ``inv_mat1`` maps crop
     pixel → source pixel, ``mat2`` maps source pixel → crop2 pixel.
+
+    ``method``: "exact" (gather nearest-sample), "warp" (the nearest sample
+    as an integer-position MXU flow-warp — the one-hot weights are exactly
+    {0, 1}, so f32 GT values pass through BIT-EXACT while avoiding the
+    TPU's slow gather path), or "auto" ("warp" on TPU).
     """
+    if method == "auto":
+        method = "warp" if _fast_warp_backend() else "exact"
     n, h, w, _ = flows.shape
     xs = jax.lax.broadcasted_iota(jnp.float32, (out_h, out_w), 1)
     ys = jax.lax.broadcasted_iota(jnp.float32, (out_h, out_w), 0)
@@ -442,12 +557,17 @@ def apply_flow_augmentation(
     xsrc = t1[:, None, None, 0] * xs + t1[:, None, None, 2] * ys + t1[:, None, None, 4]
     ysrc = t1[:, None, None, 1] * xs + t1[:, None, None, 3] * ys + t1[:, None, None, 5]
 
-    # nearest-sample the source flow (cu:52-58)
-    xi = jnp.clip(jnp.round(xsrc).astype(jnp.int32), 0, w - 1)
-    yi = jnp.clip(jnp.round(ysrc).astype(jnp.int32), 0, h - 1)
-    flat = flows.reshape(n, h * w, 2)
-    idx = (yi * w + xi).reshape(n, out_h * out_w)
-    f = jnp.take_along_axis(flat, idx[..., None], axis=1).reshape(n, out_h, out_w, 2)
+    if method == "warp":
+        f = _nearest_sample_warp(flows, inv_mat1)[:, :out_h, :out_w]
+    else:
+        # nearest-sample the source flow (cu:52-58)
+        xi = jnp.clip(jnp.round(xsrc).astype(jnp.int32), 0, w - 1)
+        yi = jnp.clip(jnp.round(ysrc).astype(jnp.int32), 0, h - 1)
+        flat = flows.reshape(n, h * w, 2)
+        idx = (yi * w + xi).reshape(n, out_h * out_w)
+        f = jnp.take_along_axis(flat, idx[..., None], axis=1).reshape(
+            n, out_h, out_w, 2
+        )
 
     x2 = xsrc + f[..., 0]
     y2 = ysrc + f[..., 1]
@@ -773,6 +893,7 @@ def sample_valid_spatial_coeffs_batch(
     discount: float = 1.0,
     base: Optional[np.ndarray] = None,
     max_tries: int = 50,
+    warp_budget: Optional[tuple] = None,
 ) -> np.ndarray:
     """Vectorized rejection sampling: (n_items, 6) coeff rows
     [mirror, dx, dy, angle, zoom_x, zoom_y], all candidates evaluated at once
@@ -782,6 +903,14 @@ def sample_valid_spatial_coeffs_batch(
     ``base``: optional (n_items, 6) incoming coeffs composed additively (the
     img2-relative mode). Items with no valid candidate fall back to base /
     identity, mirroring the reference's max-tries warning path.
+
+    ``warp_budget``: optional (horizontal, vertical) intra-tile budget
+    (PALLAS_WARP_BUDGET); when set, candidates whose affine derivatives
+    would exceed the MXU warp fast path's window budget are rejected like
+    out-of-bounds crops, so device-side augmentation warps are exact. Only
+    the extreme joint rotation × zoom-out tail is affected (the truncation
+    is part of the documented divergence from the reference's unbounded
+    sampler; pass None to keep the full distribution with the exact warp).
     """
     k = max_tries
     total = n_items * k
@@ -830,6 +959,17 @@ def sample_valid_spatial_coeffs_batch(
             y2 = y2 / zy + 0.5 * src_h
             valid &= (np.floor(x2) >= 0) & (np.floor(x2) <= src_w - 2)
             valid &= (np.floor(y2) >= 0) & (np.floor(y2) <= src_h - 2)
+
+    if warp_budget is not None:
+        # derivatives of the crop→source map (see the corner math above):
+        # d(x2)/d(cx) = ±cos/zx, d(x2)/d(cy) = -sin/zx, etc. Intra-tile flow
+        # variation over the Pallas warp's 16x128 output tiles must fit the
+        # source windows; u = x2 - cx shifts the x-derivative by -1.
+        ca, sa = np.cos(angle), np.sin(angle)
+        sgn = np.where(mirror.astype(bool), -1.0, 1.0)
+        bu, bv = warp_budget
+        valid &= np.abs(sgn * ca / zx - 1.0) * 127 + np.abs(sa / zx) * 15 <= bu
+        valid &= np.abs(sgn * sa / zy) * 127 + np.abs(ca / zy - 1.0) * 15 <= bv
 
     cand = np.stack([mirror, dx, dy, angle, zx, zy], axis=1).reshape(n_items, k, 6)
     valid = valid.reshape(n_items, k)

@@ -103,6 +103,58 @@ def make_train_step(
     return step
 
 
+def make_multistep_train_step(
+    loss_fn: Callable[[Any, Any], tuple[jnp.ndarray, dict]],
+    tx: optax.GradientTransformation,
+) -> Callable:
+    """K train steps per dispatch: ``run(state, slabs, bank) -> (state,
+    losses[K])`` as ONE jitted program (a ``lax.scan`` over the per-step
+    bank), for training through a high-latency host link.
+
+    The reference's prefetch rings (custom_data_layer.cpp:139-305) hide
+    host *decode* latency but still pay one host→device handoff per
+    iteration — fine over PCIe, fatal over links where every transfer costs
+    a round trip (measured here: ~10 small per-step uploads × 53 ms tunnel
+    RTT ≈ 1.25 s/step against a 14 ms compute step). This step formulation
+    moves the per-iteration data plane entirely on device:
+
+    - ``slabs``: tuple of transport-domain sample-slab dicts (the
+      DeviceSampleCache contents) — concatenated once per dispatch (XLA
+      hoists the loop-invariant concat out of the scan);
+    - ``bank``: dict of (K, ...) arrays — per-step batch indices +
+      augmentation coefficients, sampled on host and uploaded as ONE
+      transfer per K steps (~KBs);
+    - ``loss_fn`` sees exactly the per-step batch the single-step path sees
+      (gather → decode → augment → net), so the training math is unchanged;
+      per-step aux is dropped (use the single-step path for debug_info).
+
+    The K losses come back as one device vector; fetching it (or not) is
+    the caller's display policy. Round-trip overhead amortizes K×: the
+    loop runs at device speed minus one RTT + bank-sampling per chunk.
+    """
+    inner = make_train_step(loss_fn, tx)
+
+    @partial(jax.jit, donate_argnums=0)
+    def run(state: TrainState, slabs, bank):
+        merged = {
+            f"cache_{k}": (
+                jnp.concatenate([s[k] for s in slabs], axis=0)
+                if len(slabs) > 1
+                else slabs[0][k]
+            )
+            for k in slabs[0]
+        }
+
+        def body(state, sub):
+            state, loss, _aux = inner(state, dict(merged, **sub))
+            return state, loss
+
+        state, losses = jax.lax.scan(body, state, bank)
+        return state, losses
+
+    return run
+
+
 class Solver:
     """Owns a TrainState and drives the loop (reference Solver::Solve)."""
 
@@ -305,6 +357,84 @@ class Solver:
                 self.snapshot_interval
                 and self.snapshot_dir
                 and it % self.snapshot_interval == 0
+            ):
+                self.snapshot()
+            if self._requested_action == "stop":
+                log(f"Stopping early at iteration {it} (signal).")
+                break
+            if self._requested_action == "snapshot":
+                self.snapshot()
+                self._requested_action = None
+        if self.snapshot_dir:
+            self.snapshot()
+
+    def solve_cached(
+        self,
+        chunk_iter: Iterator,
+        *,
+        max_iter: Optional[int] = None,
+        log: Callable[[str], None] = print,
+    ):
+        """The multi-step-dispatch solve loop for the device-cache pipeline.
+
+        ``chunk_iter`` yields ``(slabs, bank)`` pairs
+        (:class:`~flownet2_tpu.data.device_cache.CacheChunks`); every chunk
+        of K iterations runs as ONE jitted program
+        (:func:`make_multistep_train_step`), so the host link is touched
+        once per K steps instead of ~10 times per step. Same training math
+        as :meth:`solve`; display/test/snapshot intervals and signal
+        actions are honored at chunk boundaries (quantization ≤ K steps —
+        the reference's per-iteration hooks, solver.cpp:194-324, are
+        latency-free because its accelerator shares the host's PCIe bus).
+
+        Loss schedules and meshes are unsupported here (episode re-jits and
+        shard_batch are per-step concepts); use :meth:`solve`.
+        """
+        if self._loss_schedule is not None:
+            raise ValueError(
+                "solve_cached does not support loss schedules (episode "
+                "boundaries would quantize to the dispatch size); use solve()"
+            )
+        if self.mesh is not None:
+            raise ValueError("solve_cached is single-device (see device_cache.py)")
+        run = make_multistep_train_step(self._loss_fn, self.tx)
+        max_iter = self.config.max_iter if max_iter is None else max_iter
+        t0, disp_iter = time.time(), self.iteration
+        while self.iteration < max_iter:
+            slabs, bank = next(chunk_iter)
+            k = int(bank["cache_idx"].shape[0])
+            rem = max_iter - self.iteration
+            if k > rem:  # final partial chunk (one extra retrace at most)
+                bank = {n: v[:rem] for n, v in bank.items()}
+                k = rem
+            self.state, losses = run(self.state, tuple(slabs), bank)
+            self._host_iter = self.iteration + k
+            self._loss_window.append(losses[-1])
+            self._steps_since_sync += k
+            if self._steps_since_sync >= self.sync_bound:
+                self._steps_since_sync = 0
+                float(losses[-1])  # bound the dispatch queue
+            it = self.iteration
+            if self.display and it // self.display > disp_iter // self.display:
+                rate = (it - disp_iter) / max(time.time() - t0, 1e-9)
+                t0, disp_iter = time.time(), it
+                log(
+                    f"Iteration {it}, loss = {self.smoothed_loss:.6f} "
+                    f"({rate:.2f} iter/s)"
+                )
+                self.history.append((it, self.smoothed_loss))
+            if (
+                self.test_fn
+                and self.test_interval
+                and it // self.test_interval
+                > (it - k) // self.test_interval
+            ):
+                metric = self.test_fn(self.state.params)
+                log(f"Iteration {it}, test metric = {metric:.6f}")
+            if (
+                self.snapshot_interval
+                and self.snapshot_dir
+                and it // self.snapshot_interval > (it - k) // self.snapshot_interval
             ):
                 self.snapshot()
             if self._requested_action == "stop":
