@@ -314,44 +314,96 @@ def bench_train_device_cache(
     return batch * n_chunks * steps_per_dispatch / dt
 
 
-def main():
-    on_tpu = jax.devices()[0].platform != "cpu"
-    dtype = jnp.bfloat16 if on_tpu else jnp.float32
-    if on_tpu:
-        main_pps = bench_inference(320, 448, 8, dtype, 3, 13)
-        sintel_pps = bench_inference(448, 1024, 4, dtype, 3, 13)
-        train_pps = bench_train(320, 448, 8, 3, 13)
-        train_s1_pps = bench_train(320, 448, 8, 3, 13, model="s1")
-        train_sd_pps = bench_train_sd_sdhom(320, 448, 8, 3, 13)
-        cache_pps = bench_train_device_cache(320, 448, 8, 200)
-        stream_pps = bench_train_streaming(320, 448, 8, 12)
-        extra = {
-            "sintel_1024x448_pairs_per_sec": round(sintel_pps, 2),
-            "train_flownetc_448x320_pairs_per_sec": round(train_pps, 2),
-            "train_s1_stage_448x320_pairs_per_sec": round(train_s1_pps, 2),
-            "train_sd_sdhom_448x320_pairs_per_sec": round(train_sd_pps, 2),
-            # the production e2e pipeline (cli/train.py --device-cache)
-            "train_flownetc_with_pipeline_448x320_pairs_per_sec": round(cache_pps, 2),
-            # fully-streamed batches: bounded by the tunnel's ~25 MB/s H2D
-            # (docs/DESIGN_NOTES.md latency budget), not by the framework
-            "train_flownetc_streaming_448x320_pairs_per_sec": round(stream_pps, 2),
-            "sintel_vs_baseline": round(sintel_pps / REF_PAIRS_PER_SEC, 2),
-        }
-    else:  # CPU smoke mode
-        main_pps = bench_inference(64, 128, 1, dtype, 1, 3)  # dims must be /64-able
-        extra = {}
-
+def _emit(value, extra):
+    """Print the CURRENT result line (stdout, flushed). Called after every
+    metric so the most-complete line is always the last stdout line — a
+    hung/slow later metric can never zero the round's evidence (the r4
+    failure mode: bench.py printed nothing until ALL metrics finished and
+    the driver's timeout captured an empty tail, BENCH_r04.json rc=124)."""
     print(
         json.dumps(
             {
                 "metric": "flownet2_448x320_pairs_per_sec",
-                "value": round(main_pps, 2),
+                "value": round(value, 2) if value is not None else None,
                 "unit": "pairs/s",
-                "vs_baseline": round(main_pps / REF_PAIRS_PER_SEC, 2),
+                "vs_baseline": round(value / REF_PAIRS_PER_SEC, 2) if value else None,
                 "extra": extra,
             }
-        )
+        ),
+        flush=True,
     )
+
+
+def main():
+    import sys
+
+    on_tpu = jax.devices()[0].platform != "cpu"
+    dtype = jnp.bfloat16 if on_tpu else jnp.float32
+    if not on_tpu:  # CPU smoke mode (dims must be /64-able)
+        _emit(bench_inference(64, 128, 1, dtype, 1, 3), {})
+        return
+
+    # Metrics run in value order under a wall-clock budget: the headline
+    # first, then the r4 centerpiece (the device-cache pipeline), then the
+    # rest. Between metrics the remaining budget is checked; metrics that
+    # don't fit are reported as skipped in "extra" rather than silently
+    # absent. Tune with FLOWNET2_TPU_BENCH_BUDGET (seconds) and
+    # FLOWNET2_TPU_BENCH_SUBSET (comma list of extra-keys; "headline" for
+    # the main metric).
+    budget = float(os.environ.get("FLOWNET2_TPU_BENCH_BUDGET", "400"))
+    subset = os.environ.get("FLOWNET2_TPU_BENCH_SUBSET")
+    subset = set(subset.split(",")) if subset else None
+    t_start = time.time()
+
+    def note(msg):
+        print(f"[bench +{time.time() - t_start:5.1f}s] {msg}", file=sys.stderr, flush=True)
+
+    main_pps = None
+    extra: dict = {}
+
+    metrics = [
+        # (key, estimated seconds, thunk)
+        ("headline", 90, lambda: bench_inference(320, 448, 8, dtype, 3, 13)),
+        # the production e2e pipeline (cli/train.py --device-cache)
+        (
+            "train_flownetc_with_pipeline_448x320_pairs_per_sec",
+            90,
+            lambda: bench_train_device_cache(320, 448, 8, 200),
+        ),
+        ("sintel_1024x448_pairs_per_sec", 80, lambda: bench_inference(448, 1024, 4, dtype, 3, 13)),
+        ("train_flownetc_448x320_pairs_per_sec", 60, lambda: bench_train(320, 448, 8, 3, 13)),
+        ("train_s1_stage_448x320_pairs_per_sec", 70, lambda: bench_train(320, 448, 8, 3, 13, model="s1")),
+        ("train_sd_sdhom_448x320_pairs_per_sec", 60, lambda: bench_train_sd_sdhom(320, 448, 8, 3, 13)),
+        # fully-streamed batches: bounded by the tunnel's ~25 MB/s H2D
+        # (docs/DESIGN_NOTES.md latency budget), not by the framework
+        ("train_flownetc_streaming_448x320_pairs_per_sec", 60, lambda: bench_train_streaming(320, 448, 8, 12)),
+    ]
+    for key, est, thunk in metrics:
+        if subset is not None and key not in subset:
+            continue
+        elapsed = time.time() - t_start
+        if elapsed + est > budget and main_pps is not None:
+            extra[key] = "skipped_budget"
+            note(f"skip {key} (elapsed {elapsed:.0f}s + est {est}s > budget {budget:.0f}s)")
+            _emit(main_pps, extra)
+            continue
+        note(f"start {key}")
+        try:
+            v = thunk()
+        except Exception as e:  # one failing metric must not zero the rest
+            extra[key] = f"error: {type(e).__name__}"
+            note(f"{key} FAILED: {e}")
+            continue
+        note(f"{key} = {v:.2f} pairs/s")
+        if key == "headline":
+            main_pps = v
+        else:
+            extra[key] = round(v, 2)
+        if isinstance(extra.get("sintel_1024x448_pairs_per_sec"), float):
+            extra["sintel_vs_baseline"] = round(
+                extra["sintel_1024x448_pairs_per_sec"] / REF_PAIRS_PER_SEC, 2
+            )
+        _emit(main_pps, extra)
 
 
 if __name__ == "__main__":

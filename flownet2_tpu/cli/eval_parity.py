@@ -63,7 +63,15 @@ def run_model_parity(args) -> dict:
 
     model = resolve_model_name(args.model)
     params = load_weights(args.weights, model)
-    runner = FlowRunner(model, params, dtype=args.dtype)
+    # Parity runs are exact-by-construction: every internal FlowWarp takes
+    # the reference-exact gather path (flow_warp_layer.cpp:58-117) unless
+    # --warp fast opts into the throughput path.
+    runner = FlowRunner(
+        model,
+        params,
+        dtype=args.dtype,
+        warp_method="gather" if args.warp == "exact" else None,
+    )
 
     epes = []
     with open(args.list) as f:
@@ -96,6 +104,14 @@ def main(argv=None):
     p.add_argument("--flo-a", help="compare mode: .flo file or directory")
     p.add_argument("--flo-b", help="compare mode: .flo file or directory")
     p.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
+    p.add_argument(
+        "--warp",
+        default="exact",
+        choices=["exact", "fast"],
+        help="internal FlowWarp routing: 'exact' (default) forces the "
+        "reference-exact gather warp; 'fast' keeps the auto fast path "
+        "(clamps >budget per-tile flow variation — not for parity claims)",
+    )
     p.add_argument("--out-dir", help="also dump our predictions here as .flo")
     args = p.parse_args(argv)
 

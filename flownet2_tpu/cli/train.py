@@ -124,14 +124,22 @@ def main(argv=None) -> int:
         iter_size=args.iter_size,
     )
 
-    from flownet2_tpu.data.augment_pipeline import make_augmented_loss
+    from flownet2_tpu.data.augment_pipeline import (
+        FlowNetAugConfig,
+        make_augmented_loss,
+    )
 
+    # One config object feeds BOTH the host sampler and the device path
+    # (make_augmented_loss derives its spatial method from it — mirror
+    # configs route to the exact warp, ADVICE r4 #3).
+    aug_config = FlowNetAugConfig()
     loss_fn = LOSSES[loss_key]
     means = []
     if not args.no_augment:
         loss_fn = make_augmented_loss(
             loss_fn, crop_h, crop_w, seed=args.seed,
             mean_window=args.recompute_mean, mean_per_pixel=args.mean_per_pixel,
+            config=aug_config,
         )
         if args.recompute_mean > 0:
             from flownet2_tpu.data.mean import MeanRecompute
@@ -184,7 +192,9 @@ def main(argv=None) -> int:
         solver.restore(args.snapshot)
 
     dataset = open_dataset(args.dataset, args.data_root)
-    base_transform = None if args.no_augment else make_flownet_augmenter(crop_h, crop_w)
+    base_transform = (
+        None if args.no_augment else make_flownet_augmenter(crop_h, crop_w, aug_config)
+    )
     transform = base_transform
     last_batch = {}  # most recent augmented batch, for --write-augmented
     if base_transform is not None and args.write_augmented:
@@ -244,12 +254,9 @@ def main(argv=None) -> int:
         )
         aug_sampler = None
         if not args.no_augment:
-            from flownet2_tpu.data.augment_pipeline import (
-                FlowNetAugConfig,
-                sample_aug_arrays,
-            )
+            from flownet2_tpu.data.augment_pipeline import sample_aug_arrays
 
-            def aug_sampler(rng, n, _cfg=FlowNetAugConfig()):  # noqa: E306
+            def aug_sampler(rng, n, _cfg=aug_config):  # noqa: E306
                 return sample_aug_arrays(_cfg, rng, n, src_h, src_w, crop_h, crop_w)
 
         if steps_per_dispatch > 1:

@@ -74,6 +74,22 @@ class FlowNetAugConfig:
     schedule: CoeffSchedule = CoeffSchedule(half_life=50000, initial_coeff=0.5, final_coeff=1.0)
 
 
+def spatial_method_for(config: FlowNetAugConfig) -> str:
+    """The device-side ``spatial_method`` a config requires.
+
+    Mirror-enabled specs must take the exact gather path: a mirrored affine
+    has |du/dx| ≈ 2 (≈254 px across one 128-column warp tile), far beyond the
+    Pallas window budget, and ``sample_aug_arrays`` skips the budget
+    rejection for mirrored specs — so routing them through "warp" would
+    silently clamp to window edges (ADVICE r4 #3). ``make_augmented_loss``
+    derives its method from the same config via this helper, closing the
+    sampler/device agreement loop.
+    """
+    if config.spatial.mirror is not None or config.spatial_offset.mirror is not None:
+        return "exact"
+    return "auto"
+
+
 def sample_aug_arrays(
     config: FlowNetAugConfig,
     rng: np.random.Generator,
@@ -98,7 +114,8 @@ def sample_aug_arrays(
     # When the device side will take the MXU warp fast path (TPU), reject
     # the rare rotation×zoom-out tail its window budget can't sample
     # exactly (apply_spatial_transform method="warp" docstring). Mirrored
-    # specs always use the exact path — no truncation.
+    # specs skip the budget AND are routed onto the exact path by
+    # make_augmented_loss via spatial_method_for (the same mirror test).
     budget = (
         PALLAS_WARP_BUDGET
         if _fast_warp_backend()
@@ -320,16 +337,27 @@ def make_augmented_loss(
     *,
     mean_window: int = 0,
     mean_per_pixel: bool = False,
+    spatial_method: Optional[str] = None,
+    config: Optional[FlowNetAugConfig] = None,
 ) -> Callable:
     """Wrap a training objective so it applies device augmentation first.
     The noise key derives from a fingerprint of the host-sampled affines
     (deterministic per batch, varying per step).
+
+    ``spatial_method``/``config``: the device spatial path. An explicit
+    ``spatial_method`` wins; otherwise it is derived from ``config`` (the
+    same :class:`FlowNetAugConfig` the coefficient sampler uses) via
+    :func:`spatial_method_for` — in particular mirror-enabled configs are
+    forced onto the exact gather path, matching the sampler's budget-
+    rejection rules (ADVICE r4 #3).
 
     With ``mean_window > 0`` and a batch carrying MeanRecompute state, the
     per-frame augmented batch means are surfaced in the aux dict as
     ``aug_batch_mean0/1`` so the training loop can fold them into its
     host-side :class:`~flownet2_tpu.data.mean.MeanRecompute` mirrors."""
 
+    if spatial_method is None:
+        spatial_method = spatial_method_for(config or FlowNetAugConfig())
     base_key = jax.random.PRNGKey(seed)
 
     def loss_fn(params, batch):
@@ -342,6 +370,7 @@ def make_augmented_loss(
             batch = apply_augmentation_device(
                 batch, key, crop_h, crop_w,
                 mean_window=mean_window, mean_per_pixel=mean_per_pixel,
+                spatial_method=spatial_method,
             )
             batch.update(passthrough)
             extra = {

@@ -215,8 +215,18 @@ class CacheChunks:
     chunk is one dispatch and ONE host→device transfer of ~K KBs, versus
     ~10 transfers per step for :class:`CacheBatches` — the difference
     between link-latency-bound and compute-bound training on a remote
-    accelerator (measured: 6.4 → hundreds of pairs/s through a 53 ms-RTT
-    tunnel; docs/DESIGN_NOTES.md latency budget).
+    accelerator (r3 streaming measured 6.4 pairs/s through the 53 ms-RTT
+    tunnel, docs/DESIGN_NOTES.md latency budget; the captured pipeline
+    number is bench.py's train_flownetc_with_pipeline metric).
+
+    Draw-semantics note vs :class:`CacheBatches`: a chunk's indices address
+    the CONCATENATION of all resident slabs, while CacheBatches draws each
+    batch from ONE randomly chosen slab. Both sample the same cached
+    population uniformly; the chunk form mixes slabs WITHIN a batch (less
+    intra-batch correlation — mild but strictly-no-worse shuffling), and a
+    background slab refresh lands between chunks rather than between
+    batches. Per-step training math is otherwise identical
+    (tests/test_multistep.py pins chunked == sequential single-step).
     """
 
     def __init__(

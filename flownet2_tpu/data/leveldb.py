@@ -35,6 +35,7 @@ Write support is NOT provided — the native packer is ``.flowrec``
 
 from __future__ import annotations
 
+import mmap
 import os
 import struct
 from typing import Iterator, Optional
@@ -282,15 +283,20 @@ def _block_handle(value: bytes) -> tuple[int, int]:
 
 
 class _Table:
-    """One .ldb/.sst file: the index block eagerly, data blocks on demand."""
+    """One .ldb/.sst file: the index block eagerly, data blocks on demand.
+
+    The file itself is memory-mapped, not read: Caffe flow tables run to
+    tens of GB and the OS pages in only the blocks actually touched, so
+    open() stays O(index + one block) resident — the LmdbReader contract
+    (ADVICE r4 #5)."""
 
     def __init__(self, path: str, *, verify_crc: bool = True):
         self.path = path
         self.verify_crc = verify_crc
-        with open(path, "rb") as f:
-            self._buf = f.read()
-        if len(self._buf) < 48:
+        if os.path.getsize(path) < 48:  # also: mmap rejects empty files
             raise LevelDBError(f"{path}: too short for a table footer")
+        self._file = open(path, "rb")
+        self._buf = mmap.mmap(self._file.fileno(), 0, access=mmap.ACCESS_READ)
         footer = self._buf[-48:]
         if struct.unpack_from("<Q", footer, 40)[0] != TABLE_MAGIC:
             raise LevelDBError(f"{path}: bad table magic")
@@ -317,6 +323,11 @@ class _Table:
             block = _read_block(self._buf, off, size, verify_crc=self.verify_crc)
             self._cache = (block_index, [v for _, v in _block_entries(block)])
         return self._cache[1][entry_index]
+
+    def close(self):
+        self._cache = (-1, [])
+        self._buf.close()
+        self._file.close()
 
 
 # -- the reader ---------------------------------------------------------------
@@ -410,6 +421,8 @@ class LevelDBReader:
             yield self.key(i), self.value(i)
 
     def close(self):
+        for t in self._tables:
+            t.close()
         self._tables.clear()
         self._entries.clear()
         self._keys = []

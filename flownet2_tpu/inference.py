@@ -110,12 +110,23 @@ class FlowRunner:
     (docs/DESIGN_NOTES.md "bf16 inference parity"). Divergence under RANDOM
     weights is large/chaotic and is not evidence. Flow I/O stays float32
     either way.
+
+    ``warp_method``: force every internal FlowWarp (the cascade's
+    warped-image inputs, models/flownet2.py) onto one
+    :func:`~flownet2_tpu.ops.warp.flow_warp` method. ``"gather"`` makes the
+    runner exact-by-construction w.r.t. the reference's warp
+    (flow_warp_layer.cpp:58-117) — the evaluation default in ``cli/test.py``
+    and ``cli/eval_parity.py`` — where the default fast path clamps large
+    per-tile flow variation (measured 1.5% of pixels on Sintel-statistics
+    flows, DESIGN_NOTES "Windowed-warp clamp"). ``None`` keeps the
+    throughput-first auto routing.
     """
 
-    def __init__(self, model: str, params: dict, dtype=None):
+    def __init__(self, model: str, params: dict, dtype=None, warp_method=None):
         if model not in MODEL_INITS:
             raise ValueError(f"unknown model {model!r}; choose from {MODEL_NAMES}")
         self.model = model
+        self.warp_method = warp_method
         if dtype is not None:
             dtype = jnp.dtype(dtype)
             params = jax.tree.map(lambda x: x.astype(dtype), params)
@@ -159,7 +170,7 @@ class FlowRunner:
         program = self._program(geom)
         i0 = jnp.asarray(img0, jnp.float32)[None]
         i1 = jnp.asarray(img1, jnp.float32)[None]
-        flow = program(self.params, i0, i1)
+        flow = self._run(program, i0, i1)
         return np.asarray(flow[0])
 
     def batch(self, img0: np.ndarray, img1: np.ndarray) -> np.ndarray:
@@ -167,7 +178,17 @@ class FlowRunner:
         h, w = img0.shape[1:3]
         geom = adapt_shape(h, w)
         program = self._program(geom)
-        flow = program(
-            self.params, jnp.asarray(img0, jnp.float32), jnp.asarray(img1, jnp.float32)
+        flow = self._run(
+            program, jnp.asarray(img0, jnp.float32), jnp.asarray(img1, jnp.float32)
         )
         return np.asarray(flow)
+
+    def _run(self, program, i0, i1):
+        # warp_method must be in force while jit TRACES (first invocation);
+        # holding it on every call is free after that.
+        if self.warp_method is None:
+            return program(self.params, i0, i1)
+        from flownet2_tpu.ops.warp import force_warp_method
+
+        with force_warp_method(self.warp_method):
+            return program(self.params, i0, i1)

@@ -435,7 +435,8 @@ def _apply_spatial_transform_warp(
     Geometry is f32-exact (the warp kernels build their one-hot lerp
     weights from f32 positions); on accelerators pixel values ride bf16
     through the fused Pallas kernel. Off-accelerator the exact gather warp
-    makes this path equal to the "exact" method (tests pin it)."""
+    makes this path equal to the "exact" method (tests/test_aug_warp.py
+    pins warp==exact for both the image and GT-flow transforms)."""
     from flownet2_tpu.ops.warp import flow_warp
 
     n, h, w, c = images.shape
@@ -881,6 +882,44 @@ def _sample_spec_n(spec: Optional[RandomSpec], rng: np.random.Generator, n: int,
     return spec.multiplier * v
 
 
+def spatial_corner_valid(
+    mirror, dx, dy, angle, zx, zy, *, crop_w, crop_h, src_w, src_h
+):
+    """Vectorized corner-validity of candidate spatial coeffs: all 4 crop
+    corners land inside the source (generate_valid_spatial_coeffs corner
+    math, augmentation_layer_base.cpp:101-169)."""
+    valid = np.ones(np.shape(angle), bool)
+    for cx in (0, crop_w - 1):
+        for cy in (0, crop_h - 1):
+            x1 = np.where(mirror.astype(bool), -cx + 0.5 * crop_w, cx - 0.5 * crop_w)
+            y1 = cy - 0.5 * crop_h
+            ca, sa = np.cos(angle), np.sin(angle)
+            x2 = ca * x1 - sa * y1 + dx * crop_w
+            y2 = sa * x1 + ca * y1 + dy * crop_h
+            x2 = x2 / zx + 0.5 * src_w
+            y2 = y2 / zy + 0.5 * src_h
+            valid &= (np.floor(x2) >= 0) & (np.floor(x2) <= src_w - 2)
+            valid &= (np.floor(y2) >= 0) & (np.floor(y2) <= src_h - 2)
+    return valid
+
+
+def spatial_budget_valid(mirror, angle, zx, zy, warp_budget):
+    """Whether candidate coeffs' affine derivatives fit the MXU warp fast
+    path's intra-tile window budget (soundness property-tested against
+    warp_clamp_fraction in tests/test_aug_warp.py).
+
+    Derivatives of the crop→source map (see spatial_corner_valid):
+    d(x2)/d(cx) = ±cos/zx, d(x2)/d(cy) = -sin/zx, etc. Intra-tile flow
+    variation over the Pallas warp's 16x128 output tiles must fit the
+    source windows; u = x2 - cx shifts the x-derivative by -1."""
+    ca, sa = np.cos(angle), np.sin(angle)
+    sgn = np.where(np.asarray(mirror).astype(bool), -1.0, 1.0)
+    bu, bv = warp_budget
+    ok = np.abs(sgn * ca / zx - 1.0) * 127 + np.abs(sa / zx) * 15 <= bu
+    ok &= np.abs(sgn * sa / zy) * 127 + np.abs(ca / zy - 1.0) * 15 <= bv
+    return ok
+
+
 def sample_valid_spatial_coeffs_batch(
     spec: SpatialAugSpec,
     rng: np.random.Generator,
@@ -945,31 +984,12 @@ def sample_valid_spatial_coeffs_batch(
         zx = zx * np.where(b[:, 4] == 0, 1.0, b[:, 4])
         zy = zy * np.where(b[:, 5] == 0, 1.0, b[:, 5])
 
-    # validity: all 4 crop corners land inside the source
-    # (vectorized generate_valid_spatial_coeffs corner math)
-    valid = np.ones(total, bool)
-    for cx in (0, crop_w - 1):
-        for cy in (0, crop_h - 1):
-            x1 = np.where(mirror.astype(bool), -cx + 0.5 * crop_w, cx - 0.5 * crop_w)
-            y1 = cy - 0.5 * crop_h
-            ca, sa = np.cos(angle), np.sin(angle)
-            x2 = ca * x1 - sa * y1 + dx * crop_w
-            y2 = sa * x1 + ca * y1 + dy * crop_h
-            x2 = x2 / zx + 0.5 * src_w
-            y2 = y2 / zy + 0.5 * src_h
-            valid &= (np.floor(x2) >= 0) & (np.floor(x2) <= src_w - 2)
-            valid &= (np.floor(y2) >= 0) & (np.floor(y2) <= src_h - 2)
-
+    valid = spatial_corner_valid(
+        mirror, dx, dy, angle, zx, zy,
+        crop_w=crop_w, crop_h=crop_h, src_w=src_w, src_h=src_h,
+    )
     if warp_budget is not None:
-        # derivatives of the crop→source map (see the corner math above):
-        # d(x2)/d(cx) = ±cos/zx, d(x2)/d(cy) = -sin/zx, etc. Intra-tile flow
-        # variation over the Pallas warp's 16x128 output tiles must fit the
-        # source windows; u = x2 - cx shifts the x-derivative by -1.
-        ca, sa = np.cos(angle), np.sin(angle)
-        sgn = np.where(mirror.astype(bool), -1.0, 1.0)
-        bu, bv = warp_budget
-        valid &= np.abs(sgn * ca / zx - 1.0) * 127 + np.abs(sa / zx) * 15 <= bu
-        valid &= np.abs(sgn * sa / zy) * 127 + np.abs(ca / zy - 1.0) * 15 <= bv
+        valid &= spatial_budget_valid(mirror, angle, zx, zy, warp_budget)
 
     cand = np.stack([mirror, dx, dy, angle, zx, zy], axis=1).reshape(n_items, k, 6)
     valid = valid.reshape(n_items, k)

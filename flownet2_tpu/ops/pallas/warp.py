@@ -129,6 +129,12 @@ def _warp_kernel(
     x0 = pl.multiple_of(x0_ref[cell], 128)
     y0 = pl.multiple_of(y0_ref[cell], 8)
     win = win_ref[cell % 2].reshape(c * VW, sw)
+    # f32 operands at DEFAULT precision truncate to one bf16 pass on the
+    # MXU (ADVICE r4 #1: ~0.037 px error on the f32 GT-flow pass-through).
+    # HIGHEST splits f32 into 3 bf16 passes covering all 24 mantissa bits,
+    # so {0,1} one-hot / triangular weights pass values through BIT-exactly.
+    # bf16 inputs (the production image path) are unaffected.
+    prec = lax.Precision.HIGHEST if win.dtype == jnp.float32 else None
 
     for r in range(RT):
         # Triangular two-tap weights relative to the window base. Clamping
@@ -143,6 +149,7 @@ def _warp_kernel(
             oht.astype(win.dtype),
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=prec,
         )  # (C*VW, CK)
         h3 = hsel.reshape(c, VW, ck)
         out_ref[0, :, r, :] = jnp.sum(h3 * vt[None], axis=1).astype(out_ref.dtype)
@@ -320,6 +327,8 @@ def _warp_bwd_kernel(
     y0f = y0.astype(jnp.float32)
     win = win_ref[cell % 2].reshape(c * VW, sw)
     mm = win.dtype
+    # see _warp_kernel: exact f32 pass-through under one-hot weights
+    prec = lax.Precision.HIGHEST if mm == jnp.float32 else None
 
     dwin = jnp.zeros((c * VW, sw), jnp.float32)
     for r in range(RT):
@@ -339,17 +348,20 @@ def _warp_bwd_kernel(
             tck, oht.astype(mm),
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=prec,
         )  # (C·VW, SW)
         rsk = lax.dot_general(
             win, tck,
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=prec,
         )  # (SW, CK)
         du_ref[0, r, :] = jnp.sum(rsk * (oh_hi - oh_lo), axis=0)
         hsel = lax.dot_general(
             win, oht.astype(mm),
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=prec,
         ).reshape(c, VW, ck)
         e = jnp.sum(hsel * gr[:, None, :], axis=0)  # (VW, CK)
         dv_ref[0, r, :] = jnp.sum(e * (vt_hi - vt_lo), axis=0)

@@ -28,11 +28,34 @@ clamp-right/bottom convention exactly (TL==TR when x2 > W-1 etc.).
 from __future__ import annotations
 
 import os
+import threading
+from contextlib import contextmanager
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import lax
+
+_method_override = threading.local()
+
+
+@contextmanager
+def force_warp_method(method: str):
+    """Trace-time override: inside this context every ``flow_warp`` call
+    that would resolve ``method="auto"`` resolves to ``method`` instead
+    (explicit per-call methods are untouched). This is how evaluation
+    paths become exact-by-construction: ``FlowRunner(warp_method="gather")``
+    traces its whole cascade under this context, so every internal warp
+    takes the reference-exact path (flow_warp_layer.cpp:58-117 is exact
+    everywhere; the Pallas/windowed fast paths clamp a measured 1.5%/11.9%
+    of pixels on Sintel-statistics flows — docs/DESIGN_NOTES.md
+    "Windowed-warp clamp"). Thread-local; only matters during tracing."""
+    prev = getattr(_method_override, "method", None)
+    _method_override.method = method
+    try:
+        yield
+    finally:
+        _method_override.method = prev
 
 
 def flow_warp(
@@ -71,6 +94,10 @@ def flow_warp(
                    for bf16 images on a TPU, else "gather" (CPU) /
                    "windowed". Override globally with FLOWNET2_TPU_WARP.
     """
+    if method == "auto":
+        forced = getattr(_method_override, "method", None)
+        if forced is not None:
+            method = forced  # force_warp_method context (eval exactness)
     if method == "auto":
         method = os.environ.get("FLOWNET2_TPU_WARP", "auto")
     if method == "auto":

@@ -397,6 +397,12 @@ class Solver:
             )
         if self.mesh is not None:
             raise ValueError("solve_cached is single-device (see device_cache.py)")
+        if self.config.iter_size != 1:
+            raise ValueError(
+                "solve_cached runs make_multistep_train_step, which dispatches "
+                "single-micro-batch steps; iter_size>1 would silently change "
+                "the effective batch/gradient scale — use solve()"
+            )
         run = make_multistep_train_step(self._loss_fn, self.tx)
         max_iter = self.config.max_iter if max_iter is None else max_iter
         t0, disp_iter = time.time(), self.iteration
@@ -409,7 +415,11 @@ class Solver:
                 k = rem
             self.state, losses = run(self.state, tuple(slabs), bank)
             self._host_iter = self.iteration + k
-            self._loss_window.append(losses[-1])
+            # fold ALL K losses into the smoothed window (each element is a
+            # device scalar view; only display time forces them) — sampling
+            # just losses[-1] would make the displayed "smoothed loss" a
+            # 1-in-K subsample of what the reference smooths (solver.cpp:484+)
+            self._loss_window.extend(losses[i] for i in range(k))
             self._steps_since_sync += k
             if self._steps_since_sync >= self.sync_bound:
                 self._steps_since_sync = 0
