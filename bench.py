@@ -284,8 +284,14 @@ def bench_train_device_cache(
         )
     )
     run = make_multistep_train_step(loss_fn, tx)
-    state = TrainState(
-        params=params, opt_state=tx.init(params), iteration=jnp.zeros([], jnp.int32)
+    # commit to the device: an uncommitted fresh state makes the SECOND
+    # dispatch recompile the whole scan program (committed-output key
+    # mismatch; see Solver.__init__)
+    state = jax.device_put(
+        TrainState(
+            params=params, opt_state=tx.init(params), iteration=jnp.zeros([], jnp.int32)
+        ),
+        jax.devices()[0],
     )
 
     ds = FlowRecordReader(path, transport=True)

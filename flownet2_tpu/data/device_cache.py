@@ -49,6 +49,25 @@ class DeviceSampleCache:
     ``sample_iter`` yields sample dicts of HWC numpy arrays (any dtypes —
     uint8/int16 transport items from ``FlowRecordReader(transport=True)``
     give 3.2× cheaper uploads than f32). All samples must share shapes.
+
+    Refresh throttling (measured necessity, round 5): an unthrottled
+    refresh loop re-uploads slabs flat-out — on the remote-TPU tunnel it
+    pushed 8.4 GB in 380 s (the dataset 44×) and its in-flight uploads
+    head-of-line-blocked every training dispatch/sync behind them (chunk
+    sync 1.0 s idle-link → 14-29 s under refresh). Two self-scaling caps:
+
+    - ``min_echo``: a slab swap needs ``slab_samples * min_echo`` consumer
+      draws since the last swap (``note_drawn`` — CacheBatches/CacheChunks
+      report their draws). Replacing samples faster than they can be drawn
+      is statistically pure waste; this also idles refresh while training
+      is paused (compile, eval).
+    - ``link_duty``: after an upload that took ``u`` seconds, the refresher
+      sleeps ``u * (1 - duty) / duty`` — refresh may occupy at most
+      ``duty`` of the link's time, bounding the average dispatch/sync
+      latency it induces.
+
+    On a fast local link (PCIe/DMA) both caps are no-ops in practice:
+    uploads are milliseconds and draws outpace ``min_echo`` instantly.
     """
 
     def __init__(
@@ -59,14 +78,20 @@ class DeviceSampleCache:
         n_slabs: int = 4,
         refresh: bool = True,
         device=None,
+        min_echo: float = 0.25,
+        link_duty: float = 0.25,
     ):
         import jax
 
         if slab_samples < 1 or n_slabs < 1:
             raise ValueError("slab_samples and n_slabs must be >= 1")
+        if not 0 < link_duty <= 1:
+            raise ValueError("link_duty must be in (0, 1]")
         self._iter = sample_iter
         self.slab_samples = slab_samples
         self.n_slabs = n_slabs
+        self.min_echo = min_echo
+        self.link_duty = link_duty
         self._device = device or jax.devices()[0]
         self._lock = threading.Lock()
         self._stop = threading.Event()
@@ -74,6 +99,8 @@ class DeviceSampleCache:
         self.samples_uploaded = 0
         self.slabs_swapped = 0
         self.bytes_uploaded = 0
+        self.samples_drawn = 0
+        self._drawn_at_last_swap = 0
         # initial fill: synchronous so the first draw always works
         self._slabs = [self._build_and_upload() for _ in range(n_slabs)]
         self._thread: Optional[threading.Thread] = None
@@ -101,7 +128,16 @@ class DeviceSampleCache:
         return slab
 
     def _refresh_loop(self):
+        import time
+
+        need = max(1, int(self.slab_samples * self.min_echo))
         while not self._stop.is_set():
+            # echo cap: wait until the consumer drew enough from the cache
+            # that replacing a slab can matter
+            while self.samples_drawn - self._drawn_at_last_swap < need:
+                if self._stop.wait(0.05):
+                    return
+            t0 = time.monotonic()
             try:
                 slab = self._build_and_upload()
             except StopIteration:
@@ -110,13 +146,24 @@ class DeviceSampleCache:
                 if self._stop.is_set():
                     return
                 raise
+            upload_s = time.monotonic() - t0
             with self._lock:
                 i = self._next_swap
                 self._next_swap = (i + 1) % self.n_slabs
                 self._slabs[i] = slab
                 self.slabs_swapped += 1
+                self._drawn_at_last_swap = self.samples_drawn
+            # duty cap: leave the link idle for training traffic
+            if self.link_duty < 1 and self._stop.wait(
+                upload_s * (1 - self.link_duty) / self.link_duty
+            ):
+                return
 
     # -- consumer side -----------------------------------------------------
+    def note_drawn(self, n: int):
+        """Report ``n`` consumer sample-draws (feeds the refresh echo cap)."""
+        self.samples_drawn += n  # benign race: int add, monotonic intent
+
     def draw_slab(self, rng: np.random.Generator) -> dict:
         """A uniformly random current slab (device arrays, ready to pass as
         jitted-step arguments)."""
@@ -135,6 +182,7 @@ class DeviceSampleCache:
             "samples_uploaded": self.samples_uploaded,
             "bytes_uploaded": self.bytes_uploaded,
             "capacity_samples": self.slab_samples * self.n_slabs,
+            "samples_drawn": self.samples_drawn,
         }
 
     def stop(self):
@@ -201,6 +249,7 @@ class CacheBatches:
             batch["cache_idx"] = idx
             if self.aug_sampler is not None:
                 batch.update(self.aug_sampler(self._rng, self.batch_size))
+            self.cache.note_drawn(self.batch_size)
             yield batch
 
 
@@ -261,6 +310,7 @@ class CacheChunks:
                         for name, v in arrs.items()
                     }
                 )
+            self.cache.note_drawn(k * n)
             yield slabs, bank
 
 

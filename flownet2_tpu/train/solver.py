@@ -206,6 +206,14 @@ class Solver:
             from flownet2_tpu.parallel import replicate
 
             self.state = replicate(self.state, mesh)
+        else:
+            # COMMIT the fresh state to its device: freshly-initialized
+            # arrays are uncommitted while every step OUTPUT is committed,
+            # so an uncommitted first call jit-caches under a different
+            # key and the SECOND call silently recompiles the whole step
+            # (measured: 2x ~45 s compiles of the multistep program through
+            # the remote compile service before reaching steady state).
+            self.state = jax.device_put(self.state, jax.devices()[0])
         self.snapshot_dir = snapshot_dir
         self.snapshot_interval = snapshot_interval
         self.display = display

@@ -80,13 +80,20 @@ def test_cache_fill_and_refresh(rec_path):
         assert slab["img0"].shape == (4, 64, 96, 3)
         assert slab["img0"].dtype == jnp.uint8
         assert slab["flow"].dtype == jnp.int16
+        # echo cap: with NO consumer draws the refresher must stay idle
+        # (an unthrottled loop starves the link — see DeviceSampleCache)
+        time.sleep(0.5)
+        assert cache.slabs_swapped == 0, "refresh ran without any draws"
+        # report draws -> refresh resumes
         deadline = time.time() + 30
         while cache.slabs_swapped < 2 and time.time() < deadline:
+            cache.note_drawn(4)
             time.sleep(0.05)
         assert cache.slabs_swapped >= 2, "background refresh never swapped a slab"
         st = cache.stats()
         assert st["samples_uploaded"] >= 8 + 8
         assert st["capacity_samples"] == 8
+        assert st["samples_drawn"] > 0
     finally:
         cache.stop()
 
