@@ -111,9 +111,17 @@ class FlowRecordReader:
         return len(self._offsets)
 
     def __getitem__(self, i: int) -> dict:
-        self._f.seek(int(self._offsets[i]))
-        (length,) = struct.unpack("<Q", self._f.read(8))
-        body = self._f.read(length)
+        # os.pread: ATOMIC positioned read. BatchLoader runs multiple worker
+        # threads over one reader; a shared-handle seek()+read() interleaves
+        # across threads and yields torn records (observed: shape errors —
+        # and a torn read whose length field still parses would be silent
+        # data corruption). pread has no shared file position, so the reader
+        # is thread-safe without locking (the reference serializes through
+        # its DataReader queue instead, data_reader.cpp:22-79).
+        fd = self._f.fileno()
+        off = int(self._offsets[i])
+        (length,) = struct.unpack("<Q", os.pread(fd, 8, off))
+        body = os.pread(fd, length, off + 8)
         if not self.transport:
             # native fast path (cpp/flowdata.cc); numpy fallback below
             from flownet2_tpu.data import native

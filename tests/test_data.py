@@ -120,3 +120,44 @@ def test_record_reader_as_dataset(tmp_path, rng):
     batches = list(loader)
     assert len(batches) == 2
     assert batches[0]["flow"].shape == (2, 16, 16, 2)
+
+
+def test_flow_record_reader_is_thread_safe(tmp_path, rng):
+    """Concurrent __getitem__ from loader worker threads must never tear a
+    record. The reader uses os.pread (atomic positioned reads) because a
+    shared-handle seek()+read() interleaves across BatchLoader's workers —
+    observed in production as shape errors mid-eval; a torn read whose
+    length field still parses would be SILENT data corruption."""
+    import threading
+
+    n = 24
+    sizes = [(16 + 4 * (i % 3), 20 + 4 * (i % 2)) for i in range(n)]
+    path = str(tmp_path / "mt.flowrec")
+    with FlowRecordWriter(path) as w:
+        for i, (h, wd) in enumerate(sizes):
+            img = np.full((h, wd, 3), i, np.uint8)
+            flow = np.full((h, wd, 2), float(i), np.float32)
+            w.write(img, img, flow)
+
+    r = FlowRecordReader(path)
+    errors = []
+
+    def hammer(seed):
+        g = np.random.default_rng(seed)
+        try:
+            for _ in range(300):
+                i = int(g.integers(n))
+                s = r[i]
+                h, wd = sizes[i]
+                assert s["img0"].shape == (h, wd, 3), (i, s["img0"].shape)
+                assert float(s["img0"][0, 0, 0]) == i
+                assert abs(float(s["flow"][0, 0, 0]) - i) < 1e-2
+        except Exception as e:  # pragma: no cover - failure path
+            errors.append(e)
+
+    threads = [threading.Thread(target=hammer, args=(t,)) for t in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors[:3]

@@ -83,6 +83,9 @@ def test_train_cli_on_synthetic_dataset_beats_init(tmp_path):
     init_epe = mean_epe("random")
     trained_epe = mean_epe(weights_npz)
     # random init predicts ~0 flow (EPE ~ mean |gt|); 300 iters on 48
-    # distinct easy samples must already generalize to unseen samples
+    # distinct easy samples must already generalize to unseen samples.
+    # The full-scale proof (2048 samples, 6k iters, device cache, TPU) is
+    # runs/synth/epe_curve.json — run via runs/synth/run_r5.sh.
+    print(f"synth-train: init EPE {init_epe:.3f}, trained {trained_epe:.3f}")
     assert np.isfinite(trained_epe)
-    assert trained_epe < 0.85 * init_epe, (init_epe, trained_epe)
+    assert trained_epe < 0.6 * init_epe, (init_epe, trained_epe)
