@@ -366,6 +366,12 @@ def main():
 
     main_pps = None
     extra: dict = {}
+    # A parseable line lands on stdout BEFORE any device work: if the remote
+    # compile service wedges mid-headline, the capture still holds valid
+    # JSON (null value + the note) instead of an empty tail.
+    extra["note"] = "in progress — later lines supersede"
+    _emit(None, extra)
+    del extra["note"]
 
     metrics = [
         # (key, estimated seconds, thunk)
