@@ -120,6 +120,10 @@ def build_fusion_inputs(params: dict, x0: jnp.ndarray, x1: jnp.ndarray) -> jnp.n
     sd_flow = _upsample_flow_4x(flows_sd["flow2"], 1.0 / DIV_FLOW)
 
     # Fusion inputs: flows, their magnitudes, and both brightness errors.
+    # (Batching the two independent warps into one 2B call was measured
+    # SLOWER — 252.6 vs 257.6 pairs/s @448x320 b8, 62.4 vs 66.9 @Sintel b8 —
+    # the [x1;x1]/[sd;css] concats and output slices cost more than the
+    # second kernel launch. DESIGN_NOTES negative-results ledger, round 5.)
     norm_sd = channel_norm(sd_flow)
     norm_css = channel_norm(css_flow)
     warped_sd = flow_warp(x1, sd_flow)

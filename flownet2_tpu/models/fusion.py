@@ -117,6 +117,28 @@ def _fusion_apply_s2d(params: dict, x: jnp.ndarray) -> dict[str, jnp.ndarray]:
 
     up_feat1 = deconv_block(p, "deconv1", c2_1)
     up_flow1 = deconv_block(p, "upsample_flow2to1", flow2, relu=False)
+
+    from flownet2_tpu.ops.s2d import fusion_head, fusion_head_ok
+
+    if fusion_head_ok(c0_2.shape[2]):
+        # Fused Pallas decoder head (ops/pallas/fusion_head.py): the five
+        # remaining layers in ONE kernel — intermediates never leave VMEM,
+        # killing the XLA layout copies + s2d phase repacks the round-5
+        # trace breakdown attributed to this region. concat1 is built
+        # 256-channel directly (the kernel's lane-aligned DMA shape) so no
+        # separate pad copy materializes.
+        concat1p = jnp.concatenate(
+            [
+                c1_1, up_feat1, up_flow1,
+                jnp.zeros(c1_1.shape[:3] + (94,), c1_1.dtype),
+            ],
+            axis=-1,
+        )
+        flow0_2, flow1 = fusion_head(concat1p, c0_2, p)
+        flows["flow1"] = flow1
+        flows["flow0"] = depth_to_space(flow0_2)
+        return flows
+
     concat1 = jnp.concatenate([c1_1, up_feat1, up_flow1], axis=-1)
     inter1 = conv_block(p, "inter_conv1", concat1, relu=False)
     flow1 = conv_block(p, "predict_flow1", inter1, relu=False)

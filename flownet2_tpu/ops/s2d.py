@@ -417,3 +417,84 @@ def deconv2d_s2d(
             x = x.astype(w.dtype)
         return _deconv2d_s2d_routed(x, w, b).astype(in_dtype)
     return _deconv2d_s2d_impl(x, w, b)
+
+
+# -- Fused fusion-net decoder head (ops/pallas/fusion_head.py) --------------
+
+
+def _fusion_head_xla(cat1, c0_2, p):
+    """Reference composition of the five head layers (exact math of
+    models/fusion._fusion_apply_s2d's tail) — the Pallas kernel's oracle,
+    backward path, and non-TPU fallback."""
+    from flownet2_tpu.ops.activations import leaky_relu
+    from flownet2_tpu.ops.conv import conv2d
+
+    inter1 = conv2d(cat1, p["inter_conv1"]["w"], p["inter_conv1"]["b"], padding=1)
+    flow1 = conv2d(inter1, p["predict_flow1"]["w"], p["predict_flow1"]["b"], padding=1)
+    up_feat = leaky_relu(_deconv2d_s2d_impl(cat1, p["deconv0"]["w"], p["deconv0"]["b"]))
+    up_flow = _deconv2d_s2d_impl(
+        flow1, p["upsample_flow1to0"]["w"], p["upsample_flow1to0"]["b"]
+    )
+    concat0 = jnp.concatenate([c0_2, up_feat, up_flow], axis=-1)
+    inter0 = _conv2d_s2d_impl(
+        concat0, p["inter_conv0"]["w"], p["inter_conv0"]["b"], segments=(64, 16, 2)
+    )
+    flow0_2 = _conv2d_s2d_impl(
+        inter0, p["predict_flow0"]["w"], p["predict_flow0"]["b"]
+    )
+    return flow0_2, flow1
+
+
+def fusion_head_ok(width: int | None = None) -> bool:
+    """Opt-in gate for the fused decoder-head kernel (TPU only) — DEFAULT
+    OFF. Measured on v5e (round 5, DESIGN_NOTES negative-results ledger):
+    the kernel LOSES in-cascade at 448x320 (fusion net 13.2 vs 11.2 ms,
+    cascade 232.7 vs 253.8 pairs/s) and only reaches parity at Sintel
+    width (23.07 vs 23.32 ms) — its tap matmuls pay the SAME 128-lane
+    padding bill as XLA's convs, plus ~1.4-1.9x halo recompute at
+    VMEM-fitting tile sizes, which together cancel the ~2.5 ms of layout
+    copies + phase repacks it eliminates. Kept in-tree opt-in
+    (FLOWNET2_TPU_FUSION_HEAD=1) with full test coverage; the numeric
+    check and A/B scripts are the round-5 evidence."""
+    import os
+
+    return os.environ.get("FLOWNET2_TPU_FUSION_HEAD", "") == "1" and (
+        jax.default_backend() in ("tpu", "axon")
+    )
+
+
+@jax.custom_vjp
+def _fusion_head_routed(cat1, c0_2, p):
+    # cat1 may arrive 162-channel or pre-padded to 256 (the kernel's
+    # lane-aligned DMA shape — producers concat the zeros in directly).
+    from flownet2_tpu.ops.pallas.fusion_head import (
+        build_fusion_head_weights,
+        fusion_head_pallas,
+    )
+
+    fw = build_fusion_head_weights(p, cat1.dtype)
+    return fusion_head_pallas(cat1, c0_2, fw)
+
+
+def _fusion_head_fwd(cat1, c0_2, p):
+    return _fusion_head_routed(cat1, c0_2, p), (cat1, c0_2, p)
+
+
+def _fusion_head_bwd(res, g):
+    cat1, c0_2, p = res
+    _, vjp = jax.vjp(
+        lambda c, c0, p: _fusion_head_xla(c[..., :162], c0, p), cat1, c0_2, p
+    )
+    return vjp(g)
+
+
+_fusion_head_routed.defvjp(_fusion_head_fwd, _fusion_head_bwd)
+
+
+def fusion_head(cat1: jnp.ndarray, c0_2: jnp.ndarray, p: dict):
+    """(concat1 (162 or 256ch), c0_2, fusion params) -> (flow0_2 s2d,
+    flow1). Routes the fused Pallas decoder-head kernel on TPU (wide
+    geometries), XLA composition elsewhere."""
+    if fusion_head_ok(cat1.shape[2]):
+        return _fusion_head_routed(cat1, c0_2, p)
+    return _fusion_head_xla(cat1[..., :162], c0_2, p)

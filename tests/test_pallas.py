@@ -233,3 +233,52 @@ def test_flow_warp_pallas_bwd_compiled_matches_gather_vjp(rng):
     # MXU-precision tolerance (measured ~6e-3 max abs on v5e, ADVICE r3)
     np.testing.assert_allclose(np.asarray(dimg_p), np.asarray(dimg_e), atol=2e-2)
     np.testing.assert_allclose(np.asarray(dflow_p), np.asarray(dflow_e), atol=5e-2)
+
+
+# -- fused fusion-net decoder head (ops/pallas/fusion_head.py) --------------
+
+
+@pytest.mark.parametrize("shape", [(2, 40, 56), (1, 32, 224), (1, 17, 130)])
+def test_fusion_head_pallas_matches_xla(rng, shape):
+    """The fused 5-layer decoder-head kernel must match the XLA composition
+    (its VJP/backward/off-TPU path) everywhere, including image borders —
+    the kernel re-creates each stage's zero padding with in-kernel masks,
+    and a chained kernel that skipped them would diverge exactly there.
+    Covers multi-row-tile (R=16), multi-col-tile (CB=112), and
+    non-tile-divisible geometries."""
+    import jax
+
+    from flownet2_tpu.models.fusion import fusion_init
+    from flownet2_tpu.ops.pallas.fusion_head import (
+        build_fusion_head_weights,
+        fusion_head_pallas,
+    )
+    from flownet2_tpu.ops.s2d import _fusion_head_xla
+
+    b, h2, w2 = shape
+    params = fusion_init(jax.random.PRNGKey(1), dtype=jnp.float32)
+    cat1 = jnp.asarray(rng.normal(0, 1, (b, h2, w2, 162)), jnp.float32)
+    c0 = jnp.asarray(rng.normal(0, 1, (b, h2, w2, 256)), jnp.float32)
+    ref0, ref1 = _fusion_head_xla(cat1, c0, params)
+    fw = build_fusion_head_weights(params, jnp.float32)
+    out0, out1 = fusion_head_pallas(cat1, c0, fw, interpret=True)
+    np.testing.assert_allclose(np.asarray(out0), np.asarray(ref0), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(ref1), atol=2e-5)
+
+
+def test_fusion_head_xla_matches_fusion_apply(rng):
+    """_fusion_head_xla (the kernel's oracle) must equal the in-net layer
+    composition it replaces — pinned against fusion_apply(layout='s2d')
+    with the kernel routing OFF."""
+    import jax
+
+    from flownet2_tpu.models.fusion import fusion_apply, fusion_init
+
+    params = fusion_init(jax.random.PRNGKey(3), dtype=jnp.float32)
+    x = jnp.asarray(rng.normal(0, 1, (2, 64, 96, 11)), jnp.float32)
+    plain = fusion_apply(params, x, layout="plain")
+    s2d = fusion_apply(params, x, layout="s2d")
+    for k in ("flow0", "flow1", "flow2"):
+        np.testing.assert_allclose(
+            np.asarray(s2d[k]), np.asarray(plain[k]), atol=2e-5
+        )
